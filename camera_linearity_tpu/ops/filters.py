@@ -1,0 +1,101 @@
+"""Spatial filters: median-based hot-pixel repair and flat-field correction.
+
+TPU-native counterparts of modules/measurand.py:543-604.  The median filter is
+built from static shifted slices + a sorting network over the k*k window — a
+formulation XLA fuses into a handful of vectorized min/max ops, which is the
+idiomatic TPU way to do small-window medians (no data-dependent control flow,
+no gather).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+__all__ = ["median_filter_2d", "bad_pixel_filter", "flat_field_correction",
+           "flat_field_roi_mean"]
+
+
+def _reflect_pad_2d(x: Array, pad: int) -> Array:
+    """Reflect padding on the two leading (spatial) axes, matching
+    scipy.ndimage mode='reflect' (edge value repeated: (d c b a | a b c d)."""
+    return jnp.pad(x, [(pad, pad), (pad, pad)] + [(0, 0)] * (x.ndim - 2),
+                   mode="symmetric")
+
+
+def median_filter_2d(x: Array, kernel_size: int) -> Array:
+    """k x k median over the two leading axes, any trailing axes vectorized.
+
+    Equivalent to scipy.ndimage.median_filter(size=(k, k), axes=(0, 1),
+    mode='reflect') as used at measurand.py:546-554.  Implemented as a full
+    sort over the k^2 shifted copies — for the reference's k=3 that is a
+    9-element sort, entirely in registers on the VPU.
+    """
+    k = kernel_size
+    pad = k // 2
+    xp = _reflect_pad_2d(x, pad)
+    h, w = x.shape[0], x.shape[1]
+    windows = [xp[i:i + h, j:j + w] for i in range(k) for j in range(k)]
+    stacked = jnp.stack(windows, axis=0)
+    return jnp.median(stacked, axis=0)
+
+
+def bad_pixel_filter(val: Array, std: Optional[Array], dark_val: Array,
+                     threshold: float, kernel_size: int = 3
+                     ) -> Tuple[Array, Optional[Array]]:
+    """Replace pixels flagged hot by the dark frame with the local median.
+
+    Where ``dark_val > threshold`` the pixel value (and std) is replaced by
+    the k x k median of its neighbourhood; elsewhere the original value is
+    kept.  This is the documented intent of measurand.py:543-557
+    (``filter_larger_than_by_map``), whose masked assignment is shape-buggy in
+    the reference (SURVEY.md §7.7); here it is a clean jnp.where.
+    """
+    hot = dark_val > threshold
+    med_val = median_filter_2d(val, kernel_size)
+    new_val = jnp.where(hot, med_val, val)
+    if std is None:
+        return new_val, None
+    med_std = median_filter_2d(std, kernel_size)
+    return new_val, jnp.where(hot, med_std, std)
+
+
+def flat_field_roi_mean(flat: Array, mid_percentage: float) -> Array:
+    """Mean of a centered ROI of the flat field, per channel.
+
+    Reference: measurand.py:561-579.  The reference computes float slice
+    bounds (which numpy rejects); the intent — a centered ROI covering
+    ``mid_percentage`` of each axis — is implemented here with integer
+    arithmetic.
+    """
+    size_x, size_y = flat.shape[0], flat.shape[1]
+    roi_dx = math.floor(size_x * mid_percentage)
+    roi_dy = math.floor(size_y * mid_percentage)
+    start = int((math.floor(1.0 / mid_percentage) - 1) // 2)
+    x0, x1 = start * roi_dx, (start + 1) * roi_dx
+    y0, y1 = start * roi_dy, (start + 1) * roi_dy
+    return jnp.mean(flat[x0:x1, y0:y1, ...], axis=(0, 1))
+
+
+def flat_field_correction(val: Array, std: Array, flat_val: Array,
+                          flat_std: Array, mid_percentage: float
+                          ) -> Tuple[Array, Array]:
+    """Flat-field (vignetting / fixed-pattern) correction with uncertainty.
+
+    val_out = (val / flat) * mean_ROI(flat); std_out combines acquisition,
+    flat-field and flat-field-mean uncertainty terms exactly as
+    measurand.py:559-604.
+    """
+    ff_means = flat_field_roi_mean(flat_val, mid_percentage)
+    ff_mean_stds = flat_field_roi_mean(flat_std, mid_percentage)
+
+    u_acq = (std ** 2) / (flat_val ** 2) * ff_means ** 2
+    u_ff = (val ** 2) / (flat_val ** 4) * (flat_std ** 2) * ff_means ** 2
+    u_ffm = (val ** 2) / (flat_val ** 2) * ff_mean_stds ** 2
+
+    out_std = jnp.sqrt(u_acq + u_ff + u_ffm)
+    out_val = (val / flat_val) * ff_means
+    return out_val, out_std
