@@ -1,0 +1,101 @@
+"""HDR exposure-stack merging with uncertainty propagation.
+
+The reference merges with two Python passes over a list of images — a
+sum-of-weights prologue and an accumulation loop, each a chain of NumPy ops
+(reference: modules/exposure_series.py:317-397).  Here the stack is a single
+``(N, H, W, C)`` device array and both passes are fused into one jitted
+computation over the exposure axis; XLA fuses the per-exposure elementwise
+chain (weight -> LUT gather -> accumulate) into a single pass over HBM.
+ops/hdr_pallas.py provides the hand-fused Pallas kernel for the same math;
+this module is the reference-semantics jnp path used for parity and as
+fallback.
+
+Weight/accumulation semantics (exposure_series.py:382-394):
+
+    w_n, dw_n = gaussian_weight(x_n)         # from the *raw* value image
+    g_n, dg_n = linearize(x_n, s_n)          # ICRF LUT + derivative * std
+    HDR   = sum_n  w_n g_n / (SW t_n)
+    std^2 = sum_n (((dw_n g_n + w_n dg_n)/SW - dw_n w_n g_n/SW^2) * D / t_n)^2
+
+where ``SW = sum_n w_n`` and ``D`` is ``dg_n`` in ``compat='reference'``
+mode — replicating exposure_series.py:389 exactly — or the input std ``s_n``
+in ``compat='corrected'`` mode (first-order propagation: the bracket is
+dHDR/dx_n with dg/dx = icrf'(x), so it must be scaled by the std of x_n, not
+by dg_n; SURVEY.md §7.7).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .linearize import dn_indices, lut_lookup
+from .uncertainty import gaussian_weight
+
+Array = jnp.ndarray
+
+__all__ = ["sum_of_weights", "merge_stack", "merge_hdr"]
+
+
+def sum_of_weights(stack_val: Array) -> Tuple[Array, Array]:
+    """Sum of gaussian weights over the exposure axis and its square
+    (exposure_series.py:317-345)."""
+    w, _ = gaussian_weight(stack_val)
+    sw = jnp.sum(w, axis=0)
+    return sw, sw ** 2
+
+
+@partial(jax.jit, static_argnames=("compat",))
+def merge_stack(stack_val: Array, stack_std: Optional[Array],
+                exposures: Array, icrf: Array, icrf_diff: Array,
+                compat: str = "corrected") -> Tuple[Array, Optional[Array]]:
+    """Merge a preprocessed ``(N, H, W, C)`` stack into an HDR radiance map.
+
+    ``stack_val`` holds [0,1] float values (dark/bad-pixel corrections are a
+    prologue, see models/exposure_series.py); ``exposures`` is ``(N,)``.
+    ``icrf``/``icrf_diff`` are ``(bits, C)``.  Returns ``(hdr_val, hdr_std)``
+    with ``hdr_std`` None when ``stack_std`` is None.
+    """
+    max_dn = icrf.shape[0] - 1
+    dtype = stack_val.dtype
+
+    w_all, dw_all = gaussian_weight(stack_val)
+    sw = jnp.sum(w_all, axis=0)
+    sw2 = sw ** 2
+
+    t = exposures.astype(dtype).reshape(-1, 1, 1, 1)
+    idx = dn_indices(stack_val, max_dn)
+    g = lut_lookup(idx, icrf).astype(dtype)
+
+    hdr_val = jnp.sum(w_all * g / (sw * t), axis=0)
+
+    if stack_std is None:
+        return hdr_val, None
+
+    fprime = lut_lookup(idx, icrf_diff).astype(dtype)
+    dg = fprime * stack_std
+    bracket = (dw_all * g + w_all * dg) / sw - (dw_all * w_all * g) / sw2
+    scale = dg if compat == "reference" else stack_std
+    hdr_var = jnp.sum(((bracket * scale) / t) ** 2, axis=0)
+    return hdr_val, jnp.sqrt(hdr_var)
+
+
+def merge_hdr(stack_val: Array, stack_std: Optional[Array], exposures: Array,
+              icrf: Array, icrf_diff: Array,
+              compat: str = "corrected") -> Tuple[Array, Optional[Array]]:
+    """Dispatch to the fastest available merge implementation.
+
+    Uses the fused Pallas kernel on TPU (ops/hdr_pallas.py) and the jnp
+    path elsewhere; both compute identical results.
+    """
+    if jax.default_backend() == "tpu" and stack_std is not None:
+        try:
+            from .hdr_pallas import merge_stack_pallas
+            return merge_stack_pallas(stack_val, stack_std, exposures, icrf,
+                                      icrf_diff, compat=compat)
+        except (ImportError, NotImplementedError):
+            pass
+    return merge_stack(stack_val, stack_std, exposures, icrf, icrf_diff,
+                       compat=compat)

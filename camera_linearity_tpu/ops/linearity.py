@@ -1,0 +1,134 @@
+"""Pairwise exposure-linearity analysis and the calibration energy.
+
+The reference materializes an ``(X, Y, N, N)`` all-pairs broadcast per energy
+evaluation (reference: modules/ICRF_calibration_exposure.py:66-145) — the
+memory hot spot of the whole package.  Here pairs are enumerated once as
+static upper-triangle index vectors of length K = N(N-1)/2 and every
+reduction streams over pixels, so peak memory is O(P*K) for the small
+subsampled solver stacks and O(tile*K) inside kernels — never O(P*N^2)
+broadcast temporaries.  The whole function vmaps over a population of
+candidate ICRFs (models/calibration.py) so the entire DE population
+evaluates as one batched TPU computation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .linearize import lut_lookup
+from .stats import nanaverage
+
+Array = jnp.ndarray
+
+__all__ = ["upper_triangle_pairs", "valid_exposure_pairs",
+           "pairwise_linearity", "linearity_energy", "pin_endpoints",
+           "monotonicity_penalty_mask"]
+
+
+def upper_triangle_pairs(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static i<j index vectors, row-major — matches np.triu_indices(n, 1)
+    ordering used at ICRF_calibration_exposure.py:93,143."""
+    ii, jj = np.triu_indices(n, k=1)
+    return ii.astype(np.int32), jj.astype(np.int32)
+
+
+def valid_exposure_pairs(exposures: np.ndarray, min_ratio: float = 0.1
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """i<j pairs whose exposure ratio t_i/t_j >= min_ratio
+    (exposure_series.py:283-304 rejects ratio < 0.1)."""
+    ii, jj = upper_triangle_pairs(len(exposures))
+    ratio = exposures[ii] / exposures[jj]
+    keep = ratio >= min_ratio
+    return ii[keep], jj[keep]
+
+
+def pairwise_linearity(stack_val: Array, stack_std: Optional[Array],
+                       exposures: Array, ii: Array, jj: Array,
+                       use_relative: bool) -> Tuple[Array, Optional[Array]]:
+    """Per-pair |difference| over a pixels-last-but-one stack.
+
+    ``stack_val``: (..., N) with N the exposure axis; returns (..., K) of
+    |g_i - r g_j| (absolute) or |(g_i - r g_j)/(r g_j)| (relative) plus the
+    first-order std of the (relative) difference when ``stack_std`` given —
+    formulas of ICRF_calibration_exposure.py:108-130.
+    """
+    g_i = stack_val[..., ii]
+    g_j = stack_val[..., jj]
+    r = (exposures[ii] / exposures[jj]).astype(stack_val.dtype)
+    scaled = g_j * r
+    diff = g_i - scaled
+    if use_relative:
+        diff = diff / scaled
+    abs_diff = jnp.abs(diff)
+
+    if stack_std is None:
+        return abs_diff, None
+    s_i = stack_std[..., ii]
+    s_j = stack_std[..., jj]
+    if use_relative:
+        std = jnp.sqrt((s_i / scaled) ** 2
+                       + ((g_i * s_j) / (r * g_j ** 2)) ** 2)
+    else:
+        std = jnp.sqrt(s_i ** 2 + (r * s_j) ** 2)
+    return abs_diff, std
+
+
+def pin_endpoints(icrf: Array) -> Array:
+    """Anchor a candidate ICRF curve: shift so the top end hits 1, pin the
+    bottom to 0 (ICRF_calibration_exposure.py:167-168)."""
+    icrf = icrf + (1.0 - icrf[-1])
+    return icrf.at[0].set(0.0)
+
+
+def monotonicity_penalty_mask(icrf: Array) -> Array:
+    """True when the curve is invalid: outside [0,1] or non-strictly-
+    increasing.  The reference early-returns inf
+    (ICRF_calibration_exposure.py:174-179) — data-dependent control flow jit
+    can't take; under jit this mask selects an inf energy instead."""
+    out_of_range = (jnp.max(icrf) > 1.0) | (jnp.min(icrf) < 0.0)
+    non_monotone = jnp.any(icrf[1:] <= icrf[:-1])
+    return out_of_range | non_monotone
+
+
+def linearity_energy(icrf_curve: Array, stack_dn: Array,
+                     stack_std: Optional[Array], exposures: Array,
+                     lower_dn: int, upper_dn: int,
+                     ii: Array, jj: Array,
+                     use_relative: bool = True) -> Array:
+    """Scalar linearity energy of one candidate ICRF over one channel stack.
+
+    Faithful jit-able port of _energy_function + analyze_linearity
+    (ICRF_calibration_exposure.py:66-201): endpoint pinning, validity -> inf,
+    candidate-mapped thresholds, LUT application to the integer DN stack,
+    per-pair NaN-masked (optionally 1/std-weighted) mean over pixels, then
+    nanmean over pairs.
+
+    ``stack_dn``: (P, N) integer DNs; ``stack_std``: (P, N) float or None;
+    ``ii``/``jj``: precomputed pair indices.  vmap over a leading candidate
+    axis of ``icrf_curve`` for population-batched evaluation.
+    """
+    icrf = pin_endpoints(icrf_curve)
+    invalid = monotonicity_penalty_mask(icrf)
+
+    lo = icrf[lower_dn]
+    hi = icrf[upper_dn]
+
+    # (P, N) linearized values; one-hot MXU lookup on TPU (see lut_lookup)
+    g = lut_lookup(stack_dn.astype(jnp.int32)[..., None],
+                   icrf[:, None])[..., 0]
+    g = jnp.where((g < lo) | (g > hi), jnp.nan, g)
+
+    abs_diff, pair_std = pairwise_linearity(g, stack_std, exposures, ii, jj,
+                                            use_relative)
+    if stack_std is not None:
+        finite = jnp.isfinite(abs_diff) & (pair_std != 0)
+        weights = jnp.where(finite, 1.0 / pair_std, jnp.nan)
+        per_pair = nanaverage(abs_diff, weights, axis=0)
+    else:
+        per_pair = jnp.nanmean(abs_diff, axis=0)
+
+    energy = jnp.nanmean(per_pair)
+    energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
+    return jnp.where(invalid, jnp.inf, energy)
