@@ -1,0 +1,452 @@
+"""TPU-resident ICRF calibration: population-batched differential evolution.
+
+The reference steps SciPy's ``DifferentialEvolutionSolver`` from Python,
+evaluating one candidate at a time per channel in joblib worker processes
+(reference: modules/ICRF_calibration_exposure.py:288-402).  Here the whole
+solve runs on device: the population's energies evaluate as ONE vmapped
+batch per generation, channels ride a second vmap axis, and the generation
+loop is a ``lax.while_loop`` — a single jit compilation covers the entire
+calibration.
+
+DE semantics follow SciPy's ``strategy='currenttobest1bin'`` with
+``updating='deferred'`` (the mode SciPy itself switches to when
+parallelized): per-generation dithered mutation factor, binomial crossover
+with a guaranteed crossover point, out-of-bounds trial components resampled
+uniformly, and greedy selection.  The reference's convergence rule is kept:
+stop when std(E) <= tol * |mean(E)|, at ``maxiter`` generations, or when the
+best energy falls below ``energy_limit``
+(ICRF_calibration_exposure.py:357-370).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CameraConfig, DEFAULT_CONFIG
+from ..ops import linearity as lin_ops
+from ..ops.linearize import interpolate_curve
+from ..utils import general as gf
+from ..utils import io
+from .icrf import icrf_from_params
+from .image_set import ImageSet
+
+Array = jnp.ndarray
+
+__all__ = ["DEResult", "differential_evolution", "calibration",
+           "initialize_channel_image_stacks", "sobol_init_population"]
+
+
+@dataclass
+class DEResult:
+    """Solver output: best member + full final state."""
+    x: Array                 # (D,) best parameters (denormalized)
+    energy: Array            # () best energy
+    population: Array        # (S, D) final population (denormalized)
+    energies: Array          # (S,) final energies
+    n_iter: int
+    converged: bool
+    initial_energy: Array    # () best energy of the initial population
+
+
+def sobol_init_population(num_members: int, num_params: int,
+                          seed: int) -> np.ndarray:
+    """Sobol' sequence init in the normalized [0,1]^D space, matching
+    SciPy's ``init='sobol'`` (qmc.Sobol sampler)."""
+    from scipy.stats import qmc
+    sampler = qmc.Sobol(d=num_params, bits=30, seed=seed)
+    return sampler.random(num_members)
+
+
+def _sample_two_distinct(key: Array, s: int, i: Array) -> Tuple[Array, Array]:
+    """Two distinct member indices != i, uniformly."""
+    k0, k1 = jax.random.split(key)
+    a = jax.random.randint(k0, (), 0, s - 1)
+    a = a + (a >= i)  # uniform over {0..s-1} \ {i}
+    b = jax.random.randint(k1, (), 0, s - 2)
+    lo = jnp.minimum(i, a)
+    hi = jnp.maximum(i, a)
+    b = b + (b >= lo)
+    b = b + (b >= hi)  # uniform over {0..s-1} \ {i, a}
+    return a, b
+
+
+def _evolve_member(key: Array, i: Array, pop: Array, best_idx: Array,
+                   scale: Array, recombination: float) -> Array:
+    """One trial vector: currenttobest1 mutation + binomial crossover.
+
+    mutant = x_i + F (x_best - x_i + x_r0 - x_r1); trial components taken
+    from the mutant where rand < CR, plus one guaranteed crossover point;
+    out-of-[0,1] components resampled uniformly (SciPy _ensure_constraint).
+    """
+    s, d = pop.shape
+    k_idx, k_cross, k_fill, k_bounds = jax.random.split(key, 4)
+    r0, r1 = _sample_two_distinct(k_idx, s, i)
+    x_i = pop[i]
+    mutant = x_i + scale * (pop[best_idx] - x_i + pop[r0] - pop[r1])
+
+    cross = jax.random.uniform(k_cross, (d,)) < recombination
+    fill_point = jax.random.randint(k_fill, (), 0, d)
+    cross = cross.at[fill_point].set(True)
+    trial = jnp.where(cross, mutant, x_i)
+
+    resample = jax.random.uniform(k_bounds, (d,))
+    out = (trial < 0.0) | (trial > 1.0)
+    return jnp.where(out, resample, trial)
+
+
+def differential_evolution(energy_fn: Callable[[Array], Array],
+                           num_params: int,
+                           bounds_lower: Array, bounds_upper: Array,
+                           x0: Optional[np.ndarray] = None,
+                           popsize: int = 15,
+                           mutation: Tuple[float, float] = (0.0, 1.95),
+                           recombination: float = 0.4,
+                           tol: float = 0.01,
+                           maxiter: int = 1000,
+                           energy_limit: float = 0.0,
+                           seed: int = 7) -> DEResult:
+    """Run DE fully on device; ``energy_fn`` maps (D,) params -> scalar.
+
+    The per-generation trial population evaluates as one ``vmap`` batch —
+    this is the "population parallel" axis the reference leaves on the
+    table (it steps candidates serially, ICRF_calibration_exposure.py:362).
+    """
+    d = num_params
+    s = max(5, popsize * d)
+    lower = jnp.asarray(bounds_lower, jnp.float64
+                        if jax.config.jax_enable_x64 else jnp.float32)
+    upper = jnp.asarray(bounds_upper, lower.dtype)
+
+    def denorm(pop_norm):
+        return lower + pop_norm * (upper - lower)
+
+    init_pop = sobol_init_population(s, d, seed)
+    if x0 is not None:
+        x0_norm = (np.asarray(x0, float) - np.asarray(bounds_lower)) / (
+            np.asarray(bounds_upper) - np.asarray(bounds_lower))
+        init_pop = init_pop.copy()
+        init_pop[0] = np.clip(x0_norm, 0, 1)
+    pop0 = jnp.asarray(init_pop, lower.dtype)
+
+    batched_energy = jax.vmap(lambda p: energy_fn(denorm(p)))
+    energies0 = batched_energy(pop0)
+
+    key0 = jax.random.PRNGKey(seed)
+    m_lo, m_hi = mutation
+
+    def cond(state):
+        pop, energies, key, nit, done = state
+        return (~done) & (nit < maxiter)
+
+    def body(state):
+        pop, energies, key, nit, _ = state
+        key, k_scale, k_members = jax.random.split(key, 3)
+        scale = jax.random.uniform(k_scale, (), pop.dtype, m_lo, m_hi)
+        best_idx = jnp.argmin(energies)
+        member_keys = jax.random.split(k_members, pop.shape[0])
+        trials = jax.vmap(
+            lambda k, i: _evolve_member(k, i, pop, best_idx, scale,
+                                        recombination)
+        )(member_keys, jnp.arange(pop.shape[0]))
+        trial_energies = batched_energy(trials)
+        accept = trial_energies < energies
+        pop = jnp.where(accept[:, None], trials, pop)
+        energies = jnp.where(accept, trial_energies, energies)
+        nit = nit + 1
+
+        finite = jnp.isfinite(energies)
+        e_mean = jnp.where(jnp.all(finite), jnp.mean(energies), jnp.inf)
+        e_std = jnp.where(jnp.all(finite), jnp.std(energies), jnp.inf)
+        converged = e_std <= tol * jnp.abs(e_mean)
+        under_limit = jnp.min(energies) < energy_limit
+        return pop, energies, key, nit, converged | under_limit
+
+    state0 = (pop0, energies0, key0, jnp.asarray(0), jnp.asarray(False))
+    pop, energies, _, nit, done = jax.lax.while_loop(cond, body, state0)
+
+    best = jnp.argmin(energies)
+    return DEResult(
+        x=denorm(pop[best]), energy=energies[best],
+        population=denorm(pop), energies=energies,
+        n_iter=int(nit), converged=bool(done),
+        initial_energy=jnp.min(energies0))
+
+
+def differential_evolution_batched(energy_fn: Callable,
+                                   channel_data: Tuple,
+                                   num_channels: int,
+                                   num_params: int,
+                                   bounds_lower: Array, bounds_upper: Array,
+                                   x0: Optional[np.ndarray] = None,
+                                   popsize: int = 15,
+                                   mutation: Tuple[float, float] = (0.0, 1.95),
+                                   recombination: float = 0.4,
+                                   tol: float = 0.01,
+                                   maxiter: int = 1000,
+                                   energy_limit: float = 0.0,
+                                   seed: int = 7):
+    """All channels' DE solves as ONE device computation.
+
+    ``energy_fn(params, *per_channel_data) -> scalar``; every element of
+    ``channel_data`` has a leading channel axis (or is None/shared).  The
+    population axis vmaps inside each channel and the channel axis vmaps
+    over solvers — a (C, S)-batched energy evaluation per generation, one
+    compile for the whole calibration.  Converged channels freeze in place
+    until the loop exits (reference solves channels in separate joblib
+    processes, ICRF_calibration_exposure.py:383-386).
+
+    Returns a DEResult whose fields carry a leading channel axis, plus the
+    per-channel iteration count at which each channel froze.
+    """
+    d = num_params
+    s = max(5, popsize * d)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    lower = jnp.asarray(bounds_lower, dtype)
+    upper = jnp.asarray(bounds_upper, dtype)
+
+    def denorm(pop_norm):
+        return lower + pop_norm * (upper - lower)
+
+    pops = []
+    for c in range(num_channels):
+        init_pop = sobol_init_population(s, d, seed + c)
+        if x0 is not None:
+            x0_norm = (np.asarray(x0, float) - np.asarray(bounds_lower)) / (
+                np.asarray(bounds_upper) - np.asarray(bounds_lower))
+            init_pop = init_pop.copy()
+            init_pop[0] = np.clip(x0_norm, 0, 1)
+        pops.append(init_pop)
+    pop0 = jnp.asarray(np.stack(pops), dtype)  # (C, S, D)
+
+    def channel_energy(pop_c, *data_c):
+        return jax.vmap(lambda p: energy_fn(denorm(p), *data_c))(pop_c)
+
+    all_energy = jax.vmap(channel_energy)  # over channels
+
+    m_lo, m_hi = mutation
+    keys0 = jax.vmap(jax.random.PRNGKey)(
+        jnp.arange(seed, seed + num_channels))
+
+    def channel_generation(key, pop, energies):
+        key, k_scale, k_members = jax.random.split(key, 3)
+        scale = jax.random.uniform(k_scale, (), pop.dtype, m_lo, m_hi)
+        best_idx = jnp.argmin(energies)
+        member_keys = jax.random.split(k_members, pop.shape[0])
+        trials = jax.vmap(
+            lambda k, i: _evolve_member(k, i, pop, best_idx, scale,
+                                        recombination)
+        )(member_keys, jnp.arange(pop.shape[0]))
+        return key, trials
+
+    @jax.jit
+    def solve(pop0, keys0, *channel_data):
+        energies0 = all_energy(pop0, *channel_data)
+
+        def cond(state):
+            _, _, _, nit, done, _ = state
+            return (~jnp.all(done)) & (nit < maxiter)
+
+        def body(state):
+            pop, energies, keys, nit, done, frozen_at = state
+            keys, trials = jax.vmap(channel_generation)(keys, pop, energies)
+            trial_energies = all_energy(trials, *channel_data)
+            accept = (trial_energies < energies) & ~done[:, None]
+            pop = jnp.where(accept[:, :, None], trials, pop)
+            energies = jnp.where(accept, trial_energies, energies)
+            nit = nit + 1
+
+            finite = jnp.all(jnp.isfinite(energies), axis=1)
+            e_mean = jnp.where(finite, jnp.mean(energies, axis=1), jnp.inf)
+            e_std = jnp.where(finite, jnp.std(energies, axis=1), jnp.inf)
+            newly_done = (e_std <= tol * jnp.abs(e_mean)) | \
+                (jnp.min(energies, axis=1) < energy_limit)
+            frozen_at = jnp.where(~done & newly_done, nit, frozen_at)
+            return pop, energies, keys, nit, done | newly_done, frozen_at
+
+        state0 = (pop0, energies0, keys0, jnp.asarray(0),
+                  jnp.zeros(num_channels, bool),
+                  jnp.full(num_channels, maxiter))
+        pop, energies, _, nit, done, frozen_at = jax.lax.while_loop(
+            cond, body, state0)
+        best = jnp.argmin(energies, axis=1)
+        ch = jnp.arange(num_channels)
+        return (denorm(pop[ch, best]), energies[ch, best], denorm(pop),
+                energies, nit, done, jnp.min(energies0, axis=1), frozen_at)
+
+    x, e_best, pop, energies, nit, done, e0, frozen_at = solve(
+        pop0, keys0, *channel_data)
+    return DEResult(x=x, energy=e_best, population=pop, energies=energies,
+                    n_iter=int(nit), converged=bool(jnp.all(done)),
+                    initial_energy=e0), frozen_at
+
+
+# ---------------------------------------------------------------------------
+# calibration driver (reference ICRF_calibration_exposure.py:219-402)
+# ---------------------------------------------------------------------------
+
+def initialize_channel_image_stacks(image_path: Path, use_std: bool,
+                                    data_spacing,
+                                    config: CameraConfig = DEFAULT_CONFIG):
+    """Load, stride-subsample and stack calibration images per channel
+    (ICRF_calibration_exposure.py:219-285).
+
+    Returns (value_stacks (C, P, N) uint DNs, std_stacks (C, P, N) or None,
+    exposures (N,), pixel_ratio).
+    """
+    sets = ImageSet.multiple_from_path(image_path, config=config)
+    sets.sort(key=lambda s: s.features["exposure"])
+    if isinstance(data_spacing, tuple):
+        x_step, y_step = data_spacing
+    else:
+        x_step = y_step = data_spacing
+
+    vals, stds, exposures = [], [], []
+    for s in sets:
+        exposures.append(s.features["exposure"])
+        s.load_value_image(bit64=True)
+        if use_std:
+            s.load_std_image()
+        v = gf.choose_evenly_spaced_points(np.asarray(s.measurand.val),
+                                           x_step, y_step)
+        vals.append(v.reshape(-1, v.shape[-1]))
+        if use_std:
+            st = gf.choose_evenly_spaced_points(np.asarray(s.measurand.std),
+                                                x_step, y_step)
+            stds.append(st.reshape(-1, st.shape[-1]))
+        s.release()
+
+    # (N, P, C) -> (C, P, N)
+    value_stacks = np.stack(vals).transpose(2, 1, 0)
+    std_stacks = np.stack(stds).transpose(2, 1, 0) if use_std else None
+    full = config.im_size_x * config.im_size_y
+    pixel_ratio = value_stacks.shape[1] / full if full else 0.0
+    return (jnp.asarray(value_stacks), None if std_stacks is None
+            else jnp.asarray(std_stacks), jnp.asarray(exposures, float),
+            pixel_ratio)
+
+
+def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
+                initial_function: Optional[Array] = None,
+                data_spacing=150,
+                data_limits: Tuple[int, int] = (5, 250),
+                use_std: bool = False,
+                image_path: Optional[Path] = None,
+                energy_limit: float = 0.0,
+                rng_seed: int = 7,
+                config: CameraConfig = DEFAULT_CONFIG,
+                channel_stacks=None,
+                pca_arrays: Optional[np.ndarray] = None,
+                mean_icrf_arrays: Optional[np.ndarray] = None,
+                popsize: int = 15,
+                maxiter: int = 1000,
+                tol: float = 0.01,
+                mutation: Tuple[float, float] = (0.0, 1.95),
+                recombination: float = 0.4,
+                penalty: str = "soft"):
+    """Solve the per-channel ICRF by differential evolution
+    (ICRF_calibration_exposure.py:288-402).
+
+    Data can come from ``image_path`` (loaded + subsampled like the
+    reference) or be injected via ``channel_stacks`` =
+    (value_stacks (C,P,N) DNs, std_stacks or None, exposures).  The PCA
+    basis / mean curves load from config files unless given directly as
+    arrays of shape (C, datapoints, K) / (C, datapoints).
+
+    Returns (ICRF (bits, C), initial_energies (C,), final_energies (C,),
+    pixel_ratio).
+    """
+    cfg = config
+    chs = cfg.num_of_chs
+
+    if channel_stacks is not None:
+        value_stacks, std_stacks, exposures = channel_stacks
+        pixel_ratio = 0.0
+    else:
+        value_stacks, std_stacks, exposures, pixel_ratio = \
+            initialize_channel_image_stacks(image_path, use_std,
+                                            data_spacing, config=cfg)
+
+    if pca_arrays is None:
+        pca_arrays = np.stack([
+            io.read_txt_to_array(cfg.pca_files[c], cfg.data_path)
+            for c in range(chs)])
+    use_mean_icrf = initial_function is None
+    if use_mean_icrf:
+        if mean_icrf_arrays is None:
+            mean_icrf_arrays = np.stack([
+                io.read_txt_to_array(cfg.mean_icrf_files[c], cfg.data_path)
+                for c in range(chs)])
+    else:
+        mean_icrf_arrays = None
+
+    num_pca = pca_arrays.shape[-1]
+    if use_mean_icrf:
+        limits = [(lower_PCA_limit, upper_PCA_limit)] * num_pca
+        x0 = [0.0] * num_pca
+    else:
+        limits = [(1.0, 8.0)] + [(lower_PCA_limit, upper_PCA_limit)] * num_pca
+        x0 = [3.0] + [0.0] * num_pca
+    lower_b = np.array([lo for lo, _ in limits])
+    upper_b = np.array([hi for _, hi in limits])
+
+    n = value_stacks.shape[-1]
+    ii, jj = lin_ops.upper_triangle_pairs(n)
+    ii_j, jj_j = jnp.asarray(ii), jnp.asarray(jj)
+    lower_dn, upper_dn = int(data_limits[0]), int(data_limits[1])
+
+    value_stacks = value_stacks.astype(jnp.int32)
+
+    pca_j = jnp.asarray(np.asarray(pca_arrays), float)           # (C, dp, K)
+    mean_j = None if mean_icrf_arrays is None else \
+        jnp.asarray(np.asarray(mean_icrf_arrays), float)         # (C, dp)
+    use_std_stacks = std_stacks is not None
+    init_fn = None if initial_function is None else \
+        jnp.asarray(initial_function, float)
+
+    def energy(params, pca_c, mean_c, stack_c, std_c):
+        mean_for_curve = mean_c if use_mean_icrf else None
+        curve = icrf_from_params(params, pca_c, mean_for_curve,
+                                 datapoints=cfg.datapoints)
+        return lin_ops.linearity_energy(curve, stack_c, std_c, exposures,
+                                        lower_dn, upper_dn, ii_j, jj_j,
+                                        penalty=penalty)
+
+    # Dummy per-channel placeholders keep the vmapped signature uniform.
+    mean_data = mean_j if use_mean_icrf else \
+        jnp.zeros((chs, cfg.datapoints))
+    std_data = std_stacks if use_std_stacks else None
+    if std_data is None:
+        energy_fn = lambda p, pca_c, mean_c, stack_c: energy(  # noqa: E731
+            p, pca_c, mean_c, stack_c, None)
+        channel_data = (pca_j, mean_data, value_stacks)
+    else:
+        energy_fn = energy
+        channel_data = (pca_j, mean_data, value_stacks, std_data)
+
+    result, _frozen = differential_evolution_batched(
+        energy_fn, channel_data, chs, len(x0), lower_b, upper_b,
+        x0=np.array(x0), popsize=popsize, maxiter=maxiter, tol=tol,
+        mutation=mutation, recombination=recombination,
+        energy_limit=energy_limit, seed=rng_seed)
+
+    icrf_out = np.zeros((cfg.datapoints, chs))
+    initial_energies = np.asarray(result.initial_energy, float)
+    final_energies = np.asarray(result.energy, float)
+    for c in range(chs):
+        mean_c = mean_j[c] if use_mean_icrf else None
+        curve = np.asarray(icrf_from_params(result.x[c], pca_j[c], mean_c,
+                                            datapoints=cfg.datapoints))
+        # endpoint renormalization + clip (:388-396)
+        curve = curve + (1.0 - curve[-1])
+        curve[0] = 0.0
+        icrf_out[:, c] = np.clip(curve, 0.0, 1.0)
+
+    icrf_interpolated = np.asarray(interpolate_curve(jnp.asarray(icrf_out),
+                                                     cfg.bits))
+    return icrf_interpolated, initial_energies, final_energies, pixel_ratio

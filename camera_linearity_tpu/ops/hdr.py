@@ -31,7 +31,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .linearize import dn_indices, lut_lookup
+from .linearize import dn_indices, lut_lookup, lut_lookup_multi
 from .uncertainty import gaussian_weight
 
 Array = jnp.ndarray
@@ -67,14 +67,17 @@ def merge_stack(stack_val: Array, stack_std: Optional[Array],
 
     t = exposures.astype(dtype).reshape(-1, 1, 1, 1)
     idx = dn_indices(stack_val, max_dn)
-    g = lut_lookup(idx, icrf).astype(dtype)
-
-    hdr_val = jnp.sum(w_all * g / (sw * t), axis=0)
 
     if stack_std is None:
-        return hdr_val, None
+        g = lut_lookup(idx, icrf).astype(dtype)
+        return jnp.sum(w_all * g / (sw * t), axis=0), None
 
-    fprime = lut_lookup(idx, icrf_diff).astype(dtype)
+    # One shared one-hot feeds both tables (see lut_lookup_multi).
+    gd = lut_lookup_multi(idx, jnp.stack([icrf, icrf_diff], axis=-1))
+    g = gd[..., 0].astype(dtype)
+    fprime = gd[..., 1].astype(dtype)
+
+    hdr_val = jnp.sum(w_all * g / (sw * t), axis=0)
     dg = fprime * stack_std
     bracket = (dw_all * g + w_all * dg) / sw - (dw_all * w_all * g) / sw2
     scale = dg if compat == "reference" else stack_std

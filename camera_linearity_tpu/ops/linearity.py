@@ -92,11 +92,26 @@ def monotonicity_penalty_mask(icrf: Array) -> Array:
     return out_of_range | non_monotone
 
 
+def constraint_violation(icrf: Array) -> Array:
+    """Graded magnitude of the [0,1]-range and monotonicity violations.
+
+    Zero for valid curves.  Used by the solver's 'soft' penalty mode: the
+    reference's hard-inf rejection gives differential evolution no signal to
+    find the feasible region; a graded penalty ranks infeasible candidates
+    by how badly they violate, which speeds convergence dramatically while
+    leaving energies of feasible curves untouched."""
+    decreasing = jnp.sum(jnp.maximum(icrf[:-1] - icrf[1:], 0.0))
+    over = jnp.maximum(jnp.max(icrf) - 1.0, 0.0)
+    under = jnp.maximum(-jnp.min(icrf), 0.0)
+    return decreasing + over + under
+
+
 def linearity_energy(icrf_curve: Array, stack_dn: Array,
                      stack_std: Optional[Array], exposures: Array,
                      lower_dn: int, upper_dn: int,
                      ii: Array, jj: Array,
-                     use_relative: bool = True) -> Array:
+                     use_relative: bool = True,
+                     penalty: str = "hard") -> Array:
     """Scalar linearity energy of one candidate ICRF over one channel stack.
 
     Faithful jit-able port of _energy_function + analyze_linearity
@@ -131,4 +146,10 @@ def linearity_energy(icrf_curve: Array, stack_dn: Array,
 
     energy = jnp.nanmean(per_pair)
     energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
+    if penalty == "soft":
+        # Feasible curves keep the exact reference energy; infeasible ones
+        # get a large graded penalty instead of inf (see
+        # constraint_violation) so the solver can climb into feasibility.
+        soft = 1e3 * (1.0 + constraint_violation(icrf))
+        return jnp.where(invalid, soft, energy)
     return jnp.where(invalid, jnp.inf, energy)

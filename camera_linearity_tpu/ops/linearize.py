@@ -51,6 +51,20 @@ def lut_lookup(idx: Array, luts: Array) -> Array:
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def lut_lookup_multi(idx: Array, luts: Array) -> Array:
+    """Look several tables up with ONE one-hot: ``luts``: (bits, C, K) ->
+    returns (..., C, K).  Shares the one-hot materialization across the K
+    tables (e.g. an ICRF and its derivative), halving the dominant cost of
+    the TPU one-hot path.  Gather elsewhere."""
+    bits, n_ch, k = luts.shape
+    if jax.default_backend() != "tpu":
+        return luts[idx, jnp.arange(n_ch), :]
+    iota = jnp.arange(bits, dtype=idx.dtype)
+    one_hot = (idx[..., None] == iota).astype(luts.dtype)
+    return jnp.einsum("...cb,bck->...ck", one_hot, luts,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def linearize(val: Array, std: Optional[Array], icrf: Array,
               icrf_diff: Optional[Array] = None,
               max_dn: Optional[int] = None) -> Tuple[Array, Optional[Array]]:

@@ -1,0 +1,114 @@
+"""Tests for the TPU-resident differential-evolution ICRF calibration."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from camera_linearity_tpu import CameraConfig
+from camera_linearity_tpu.models import calibration as cal
+from camera_linearity_tpu.models.icrf import icrf_from_params
+
+
+def test_de_solves_sphere():
+    energy = lambda x: jnp.sum((x - 0.3) ** 2)  # noqa: E731
+    res = cal.differential_evolution(energy, 4,
+                                     np.full(4, -2.0), np.full(4, 2.0),
+                                     popsize=10, maxiter=200, tol=1e-4,
+                                     mutation=(0.3, 1.0), recombination=0.7,
+                                     seed=3)
+    np.testing.assert_allclose(np.asarray(res.x), 0.3, atol=1e-2)
+    assert float(res.energy) < 1e-6
+    assert res.energy < res.initial_energy
+
+
+def test_de_respects_bounds_and_x0():
+    energy = lambda x: jnp.sum(x ** 2)  # noqa: E731
+    res = cal.differential_evolution(energy, 3,
+                                     np.array([1.0, 1.0, 1.0]),
+                                     np.array([2.0, 3.0, 4.0]),
+                                     x0=np.array([1.5, 1.5, 1.5]),
+                                     popsize=8, maxiter=50, seed=1)
+    pop = np.asarray(res.population)
+    assert (pop >= np.array([1, 1, 1]) - 1e-9).all()
+    assert (pop <= np.array([2, 3, 4]) + 1e-9).all()
+    # optimum is the lower bound corner
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0, 1.0], atol=0.05)
+
+
+def test_de_energy_limit_stops_early():
+    energy = lambda x: jnp.sum(x ** 2)  # noqa: E731
+    res = cal.differential_evolution(energy, 2, np.full(2, -1.0),
+                                     np.full(2, 1.0), popsize=10,
+                                     maxiter=500, energy_limit=0.5, seed=0)
+    assert res.n_iter < 500
+
+
+def test_icrf_from_params_modes(rng):
+    pca = rng.normal(size=(64, 3))
+    mean = np.linspace(0, 1, 64)
+    p = np.array([0.1, -0.2, 0.3])
+    with_mean = icrf_from_params(jnp.asarray(p), jnp.asarray(pca),
+                                 jnp.asarray(mean))
+    np.testing.assert_allclose(np.asarray(with_mean), mean + pca @ p,
+                               rtol=1e-12)
+    p2 = np.array([2.0, 0.1, -0.2, 0.3])
+    without = icrf_from_params(jnp.asarray(p2), jnp.asarray(pca),
+                               None, datapoints=64)
+    np.testing.assert_allclose(np.asarray(without),
+                               np.linspace(0, 1, 64) ** 2.0 + pca @ p2[1:],
+                               rtol=1e-10, atol=1e-12)
+
+
+def _synthetic_problem(rng, gamma_true=2.2, n_exp=5, pixels=200):
+    """Images of a linear scene through CRF = x**(1/gamma); solving should
+    recover ICRF = x**gamma."""
+    bits = 256
+    datapoints = 256
+    exposures = 0.001 * 2.0 ** np.arange(n_exp)
+    radiance = rng.uniform(0.01, 0.35, pixels)
+    linear = radiance[:, None] * (exposures / exposures[-1])[None, :]
+    crf_observed = np.clip(linear, 0, 1) ** (1 / gamma_true)
+    stack_dn = np.around(crf_observed * 255).astype(np.int32)
+
+    # PCA basis from a family of gamma ICRFs around the mean
+    x = np.linspace(0, 1, datapoints)
+    gammas = np.linspace(1.6, 3.0, 25)
+    curves = np.stack([x ** g for g in gammas])
+    mean_icrf = curves.mean(axis=0)
+    centered = curves - mean_icrf
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    pca = vt[:5].T  # (datapoints, 5)
+    return stack_dn, exposures, mean_icrf, pca, x ** gamma_true
+
+
+def test_calibration_recovers_gamma_curve(rng):
+    stack_dn, exposures, mean_icrf, pca, truth = _synthetic_problem(rng)
+    cfg = CameraConfig(num_of_chs=1, datapoints=256)
+    value_stacks = jnp.asarray(stack_dn[None])  # (C=1, P, N)
+    icrf, e0, e1, _ = cal.calibration(
+        -1.0, 1.0, channel_stacks=(value_stacks, None,
+                                   jnp.asarray(exposures)),
+        pca_arrays=pca[None], mean_icrf_arrays=mean_icrf[None],
+        config=cfg, popsize=10, maxiter=150, tol=1e-3, rng_seed=5)
+    assert icrf.shape == (256, 1)
+    assert e1[0] < e0[0]
+    # quantization floors the energy near 0.017 on this synthetic problem
+    assert e1[0] < 0.03
+    # recovered curve close to the generating gamma curve
+    err = np.max(np.abs(icrf[:, 0] - truth))
+    assert err < 0.05
+    # monotone and pinned
+    assert icrf[0, 0] == 0.0
+    assert np.all(np.diff(icrf[:, 0]) >= -1e-9)
+
+
+def test_calibration_without_mean_icrf(rng):
+    stack_dn, exposures, _, pca, truth = _synthetic_problem(rng)
+    cfg = CameraConfig(num_of_chs=1, datapoints=256)
+    icrf, e0, e1, _ = cal.calibration(
+        -1.0, 1.0, initial_function=jnp.asarray(np.zeros(256)),
+        channel_stacks=(jnp.asarray(stack_dn[None]), None,
+                        jnp.asarray(exposures)),
+        pca_arrays=pca[None], config=cfg, popsize=10, maxiter=120,
+        tol=1e-3, rng_seed=2)
+    assert e1[0] < e0[0]
+    assert np.all(np.diff(icrf[:, 0]) >= -1e-9)
