@@ -1,0 +1,302 @@
+"""Video processing: streaming mean/std frames, noise profiles, STD data.
+
+Pipeline layer over ops/welford.py mirroring the reference
+(modules/video_processing.py).  Host-side OpenCV decode feeds fixed-size
+frame batches to the device; all statistics run jitted.  The reference's
+uint8 quantization of outputs is available behind ``quantize=True`` —
+including its bug of rounding the [0,1]-scaled std straight to uint8
+(video_processing.py:214-215, almost always 0); the default returns float
+arrays.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CameraConfig, DEFAULT_CONFIG
+from ..ops import welford as wf
+from ..ops.linearize import linearize
+from ..utils import io
+
+try:
+    import cv2 as cv
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    cv = None
+    _HAS_CV2 = False
+
+Array = jnp.ndarray
+
+__all__ = ["video_frame_generator", "welford_algorithm",
+           "compute_noise_profiles", "clean_data_edges", "calculate_std",
+           "process_STD_data", "process_video", "process_directory"]
+
+
+def video_frame_generator(video_path: Path) -> Iterator[np.ndarray]:
+    """Yield frames of a video; None when exhausted
+    (general_functions.py:226-251)."""
+    video = cv.VideoCapture(str(video_path))
+    if not video.isOpened():
+        raise ValueError(f"Unable to open video file at {video_path}")
+    try:
+        while True:
+            ret, frame = video.read()
+            if not ret:
+                yield None
+                break
+            yield frame
+    finally:
+        video.release()
+
+
+def _frame_batches(file_paths: List[Path], batch_size: int
+                   ) -> Iterator[np.ndarray]:
+    """Yield fixed-size (batch_size, H, W, C) batches, then one final
+    shorter batch if frames remain.  Downstream consumers route the
+    remainder through a single-frame path so only TWO shapes ever compile
+    (full batch + single frame) regardless of video length."""
+    batch: List[np.ndarray] = []
+    for file_path in file_paths:
+        for frame in video_frame_generator(file_path):
+            if frame is None:
+                break
+            batch.append(frame)
+            if len(batch) == batch_size:
+                yield np.stack(batch)
+                batch = []
+    if batch:
+        yield np.stack(batch)
+
+
+def welford_algorithm(file_paths: Union[Path, List[Path]],
+                      ICRF: Optional[Array] = None,
+                      use_std: bool = False,
+                      config: CameraConfig = DEFAULT_CONFIG,
+                      batch_size: int = 32,
+                      quantize: bool = True) -> Dict[str, np.ndarray]:
+    """Mean (and std-of-mean) frame over all frames of the given videos
+    (video_processing.py:161-219).
+
+    Frames linearize through the ICRF LUT on device when one is given
+    (fixing the reference's ``if ICRF:`` array-truthiness bug,
+    video_processing.py:200).  ``quantize`` replicates the reference's
+    uint8 outputs.
+    """
+    if not isinstance(file_paths, list):
+        file_paths = [file_paths]
+
+    video = cv.VideoCapture(str(file_paths[0]))
+    if not video.isOpened():
+        video.release()
+        raise ValueError(f"Unable to open video file at {file_paths[0]}")
+    width = int(video.get(cv.CAP_PROP_FRAME_WIDTH))
+    height = int(video.get(cv.CAP_PROP_FRAME_HEIGHT))
+    video.release()
+
+    max_dn = config.max_dn
+    icrf_dev = None if ICRF is None else jnp.asarray(ICRF)
+
+    @jax.jit
+    def prepare(frames_u8):
+        if icrf_dev is not None:
+            out, _ = linearize(frames_u8.astype(jnp.int32), None, icrf_dev,
+                               max_dn=max_dn)
+            return out.astype(jnp.float32)
+        return frames_u8.astype(jnp.float32) / max_dn
+
+    single_update = jax.jit(wf.welford_update)
+    state = wf.welford_init((height, width, config.num_of_chs))
+    for batch in _frame_batches(file_paths, batch_size):
+        if batch.shape[0] == batch_size:
+            state = wf.welford_update_batch(state,
+                                            prepare(jnp.asarray(batch)))
+        else:  # remainder: single-frame path, avoids a new scan compile
+            frames = prepare(jnp.asarray(batch))
+            for k in range(batch.shape[0]):
+                state = single_update(state, frames[k])
+
+    mean, std = wf.welford_finalize(state, use_std=True)
+    mean_np = np.asarray(mean)
+    std_np = np.asarray(std) if use_std else None
+
+    if quantize:
+        mean_np = np.around(mean_np * max_dn).astype(np.uint8)
+        if std_np is not None:
+            # reference rounds the [0,1]-scale std directly (bug kept
+            # behind the quantize flag; video_processing.py:214-215)
+            std_np = np.around(std_np).astype(np.uint8)
+    return {"mean": mean_np, "std": std_np}
+
+
+def compute_noise_profiles(video_files: List[Path],
+                           config: CameraConfig = DEFAULT_CONFIG,
+                           batch_size: int = 16):
+    """Per-channel 2-D histograms of (mean DN, observed DN) occupancy
+    (video_processing.py:77-106).
+
+    The reference's ``np.add.at`` scatter becomes a device ``segment_sum``
+    over combined (mean*bits + frame) keys — a sort-based reduction XLA
+    handles well, where a naive scatter-add would serialize.
+    """
+    bits = config.bits
+    chs = config.num_of_chs
+    mean_frame = welford_algorithm(video_files, None, False, config=config,
+                                   quantize=True)["mean"]
+    mean_dev = jnp.asarray(mean_frame.astype(np.int32))
+
+    def _one_frame(profiles, frame):
+        combined = mean_dev * bits + frame.astype(jnp.int32)
+        flat = combined.reshape(-1, chs)
+
+        def per_channel(col):
+            return jax.ops.segment_sum(jnp.ones_like(col, jnp.int32), col,
+                                       num_segments=bits * bits)
+        counts = jax.vmap(per_channel, in_axes=1, out_axes=1)(flat)
+        return profiles + counts.reshape(bits, bits, chs)
+
+    @jax.jit
+    def accumulate(profiles, frames):
+        return jax.lax.scan(lambda p, f: (_one_frame(p, f), None),
+                            profiles, frames)[0]
+
+    single = jax.jit(_one_frame)
+    profiles = jnp.zeros((bits, bits, chs), jnp.int32)
+    for video_file in video_files:
+        for batch in _frame_batches([video_file], batch_size):
+            if batch.shape[0] == batch_size:
+                profiles = accumulate(profiles, jnp.asarray(batch))
+            else:
+                frames = jnp.asarray(batch)
+                for k in range(batch.shape[0]):
+                    profiles = single(profiles, frames[k])
+    return np.asarray(profiles), mean_frame
+
+
+def clean_data_edges(base_data_arr: np.ndarray,
+                     config: CameraConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """Smooth noise-distribution edges and enforce monotonicity toward each
+    distribution's center (video_processing.py:12-74).
+
+    Inherently sequential per-row smoothing over a (bits, bits) table —
+    small host-side data, kept in NumPy.
+    """
+    arr = base_data_arr.copy()
+    min_dn, max_dn = config.min_dn, config.max_dn
+    for i in range(config.bits):
+        dist = arr[i, :]
+        center = i
+
+        m = center - 1
+        while m > min_dn:
+            if dist[m] == 0 and dist[m - 1] == 0:
+                dist[:m] = 0
+                break
+            if dist[m - 1] >= dist[m] or dist[m + 1] <= dist[m]:
+                dist[m] = (dist[m - 1] + dist[m + 1]) // 2
+            m -= 1
+
+        m = center + 1
+        while m < max_dn:
+            if dist[m] == 0 and dist[m + 1] == 0:
+                dist[m:] = 0
+                break
+            if dist[m + 1] >= dist[m] or dist[m - 1] <= dist[m]:
+                dist[m] = (dist[m - 1] + dist[m + 1]) // 2
+            m += 1
+
+        m = min_dn + 1
+        while m < center:
+            if dist[m] == 0 and dist[m - 1] != 0 and dist[m + 1] != 0:
+                dist[m] = dist[m - 1]
+            elif dist[m] == dist[m + 1] and dist[m] != 0:
+                dist[m + 1] += 1
+                m -= 1
+            m += 1
+
+        m = max_dn - 1
+        while m > center:
+            if dist[m] == 0 and dist[m - 1] != 0 and dist[m + 1] != 0:
+                dist[m] = dist[m + 1]
+            elif dist[m] == dist[m - 1] and dist[m] != 0:
+                dist[m - 1] += 1
+                m += 1
+            m -= 1
+
+        arr[i, :] = dist
+    return arr
+
+
+def calculate_std(mean_data_array: Array,
+                  config: CameraConfig = DEFAULT_CONFIG) -> Array:
+    """Expected std per signal level from the noise histograms
+    (video_processing.py:109-133), vectorized over all DN rows at once
+    (the reference loops rows and has an unimported ``math.sqrt``).
+    Rows with zero counts yield 0.
+    """
+    data = jnp.asarray(mean_data_array, jnp.float64
+                       if jax.config.jax_enable_x64 else jnp.float32)
+    datapoints = data.shape[1]
+    edges = jnp.linspace(0.0, 1.0, datapoints, dtype=data.dtype)
+    counts = jnp.sum(data, axis=1)
+    safe = jnp.where(counts == 0, 1.0, counts)
+    mean = jnp.sum(data * edges, axis=1) / safe
+    var = jnp.sum((edges - mean[:, None]) ** 2 * data, axis=1) / safe
+    return jnp.where(counts == 0, 0.0, jnp.sqrt(var))
+
+
+def process_STD_data(config: CameraConfig = DEFAULT_CONFIG,
+                     pass_result: bool = True) -> Optional[np.ndarray]:
+    """Condense per-channel mean-data tables to the per-DN STD LUT and
+    save it (video_processing.py:136-158)."""
+    cfg = config
+    std_data = np.zeros((cfg.max_dn + 1, cfg.num_of_chs))
+    for i, mean_file in enumerate(cfg.mean_data_files):
+        table = io.read_txt_to_array(mean_file, cfg.data_path)
+        std_data[:, i] = np.asarray(calculate_std(table, cfg))
+    io.save_txt(Path(cfg.data_path).joinpath(cfg.std_file_name), std_data)
+    return std_data if pass_result else None
+
+
+def process_video(video_path: Path, ICRF: Optional[Array] = None,
+                  use_std: bool = True,
+                  config: CameraConfig = DEFAULT_CONFIG) -> None:
+    """Mean/std frames of one video, saved as tifs
+    (video_processing.py:222-236)."""
+    ret = welford_algorithm(video_path, ICRF, use_std, config=config)
+    for key, arr in ret.items():
+        if arr is not None:
+            save_path = video_path.parent.joinpath(
+                video_path.name.replace(".avi", f".{key}.tif"))
+            io.save_image(save_path, arr) if arr.dtype != np.uint8 else \
+                cv.imwrite(str(save_path), arr)
+
+
+def process_directory(dir_path: Path, ICRF: Optional[Array] = None,
+                      separately: bool = True,
+                      config: CameraConfig = DEFAULT_CONFIG) -> None:
+    """Process every .avi in a directory, separately or pooled
+    (video_processing.py:239-274)."""
+    video_files = sorted(dir_path.glob("*.avi"))
+    if not separately:
+        ret = welford_algorithm(list(video_files), ICRF, use_std=True,
+                                config=config)
+        for key, arr in ret.items():
+            if arr is not None:
+                cv.imwrite(str(dir_path.joinpath(f"total_{key}.tif")), arr)
+        return
+    for path in video_files:
+        ret = welford_algorithm(path, ICRF, use_std=True, config=config)
+        for key, arr in ret.items():
+            if arr is None:
+                continue
+            save_dir = path.parent.joinpath(key)
+            save_dir.mkdir(exist_ok=True)
+            if key == "std":
+                name = path.name.replace(".avi", " STD.tif")
+            else:
+                name = path.name.replace(".avi", ".tif")
+            cv.imwrite(str(save_dir.joinpath(name)), arr)

@@ -43,11 +43,14 @@ def welford_update(state: WelfordState, frame: Array) -> WelfordState:
     return WelfordState(count=count, mean=mean, m2=m2)
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def welford_update_batch(state: WelfordState, frames: Array) -> WelfordState:
     """Consume a (B, H, W, C) batch with a scan (order-identical to the
-    frame-by-frame loop).  State buffers are donated: the update is in-place
-    on device, no reallocation per batch."""
+    frame-by-frame loop).
+
+    Note: deliberately NOT donating the state buffers — buffer donation
+    through remote-device transports (axon tunnel) was measured to stall
+    ~80s per call; XLA reuses the buffers fine without the hint."""
     return jax.lax.scan(lambda s, f: (welford_update(s, f), None),
                         state, frames)[0]
 
