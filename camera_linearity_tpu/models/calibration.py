@@ -190,7 +190,8 @@ def differential_evolution_batched(energy_fn: Callable,
                                    tol: float = 0.01,
                                    maxiter: int = 1000,
                                    energy_limit: float = 0.0,
-                                   seed: int = 7):
+                                   seed: int = 7,
+                                   mesh=None, pop_axis: str = "data"):
     """All channels' DE solves as ONE device computation.
 
     ``energy_fn(params, *per_channel_data) -> scalar``; every element of
@@ -203,9 +204,17 @@ def differential_evolution_batched(energy_fn: Callable,
 
     Returns a DEResult whose fields carry a leading channel axis, plus the
     per-channel iteration count at which each channel froze.
+
+    With ``mesh``, the population axis shards over ``pop_axis``: trial
+    generation and energy evaluation run population-parallel on each chip
+    and only the generation's scalar reductions (argmin/mean/std of the
+    energies) cross ICI.
     """
     d = num_params
     s = max(5, popsize * d)
+    if mesh is not None:
+        n_shards = mesh.shape[pop_axis]
+        s = -(-s // n_shards) * n_shards  # round up to shardable size
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     lower = jnp.asarray(bounds_lower, dtype)
     upper = jnp.asarray(bounds_upper, dtype)
@@ -279,6 +288,16 @@ def differential_evolution_batched(energy_fn: Callable,
         return (denorm(pop[ch, best]), energies[ch, best], denorm(pop),
                 energies, nit, done, jnp.min(energies0, axis=1), frozen_at)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pop0 = jax.device_put(pop0,
+                              NamedSharding(mesh, P(None, pop_axis, None)))
+        keys0 = jax.device_put(keys0, NamedSharding(mesh, P()))
+        channel_data = tuple(
+            None if d is None else jax.device_put(d, NamedSharding(mesh,
+                                                                   P()))
+            for d in channel_data)
+
     x, e_best, pop, energies, nit, done, e0, frozen_at = solve(
         pop0, keys0, *channel_data)
     return DEResult(x=x, energy=e_best, population=pop, energies=energies,
@@ -348,7 +367,8 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
                 tol: float = 0.01,
                 mutation: Tuple[float, float] = (0.0, 1.95),
                 recombination: float = 0.4,
-                penalty: str = "soft"):
+                penalty: str = "soft",
+                mesh=None, pop_axis: str = "data"):
     """Solve the per-channel ICRF by differential evolution
     (ICRF_calibration_exposure.py:288-402).
 
@@ -433,7 +453,8 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
         energy_fn, channel_data, chs, len(x0), lower_b, upper_b,
         x0=np.array(x0), popsize=popsize, maxiter=maxiter, tol=tol,
         mutation=mutation, recombination=recombination,
-        energy_limit=energy_limit, seed=rng_seed)
+        energy_limit=energy_limit, seed=rng_seed,
+        mesh=mesh, pop_axis=pop_axis)
 
     icrf_out = np.zeros((cfg.datapoints, chs))
     initial_energies = np.asarray(result.initial_energy, float)
