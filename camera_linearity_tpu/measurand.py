@@ -104,6 +104,15 @@ class Measurand:
                          None if self.std is None
                          else jnp.zeros_like(self.std))
 
+    # reference method name (measurand.py:304)
+    zeros_like_measurand = zeros_like
+
+    def to_numpy(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Host copies of (val, std) — the migration shim for the
+        reference's measurand_to_numpy (measurand_factory.py:38)."""
+        return (np.asarray(self.val),
+                None if self.std is None else np.asarray(self.std))
+
     # --- arithmetic ----------------------------------------------------
     def __add__(self, other: InputType) -> "Measurand":
         ov, os = _as_val_std(other)

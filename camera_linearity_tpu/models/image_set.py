@@ -265,6 +265,20 @@ class ImageSet:
             io.save_image(io.std_path_for(file_path), std,
                           as_8bit=force_8_bit, max_dn=self.config.max_dn)
 
+    def show_image(self, block: bool = True) -> None:
+        """Display the value image (image_set.py:423-435).  Uses an OpenCV
+        window when a display is available, else raises like the reference
+        does on missing data."""
+        if self.measurand is None or self.measurand.val is None:
+            raise ValueError("No image to show.")
+        import cv2 as cv
+        arr = np.asarray(self.measurand.val)
+        cv.namedWindow(self.path.name, cv.WINDOW_NORMAL)
+        cv.imshow(self.path.name, arr)
+        if block:
+            cv.waitKey(0)
+            cv.destroyAllWindows()
+
     # --- static combinators --------------------------------------------
     @staticmethod
     def compute_difference(short_set: "ImageSet", long_set: "ImageSet"):

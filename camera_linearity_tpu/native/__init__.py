@@ -1,0 +1,164 @@
+"""ctypes bindings for the native host-staging library.
+
+Builds ``stager.cpp`` into ``_stager.so`` on first use (g++, cached by
+source mtime) and exposes NumPy-friendly wrappers.  Every entry point has a
+pure-NumPy fallback so the package works without a compiler; ``available()``
+reports which path is active.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["available", "u8_to_f32", "u8_hwc_to_cfirst_f32",
+           "welford_update_batch_u8", "HostWelford"]
+
+_DIR = Path(__file__).parent
+_SRC = _DIR / "stager.cpp"
+_LIB_PATH = _DIR / "_stager.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_NTHREADS = min(16, os.cpu_count() or 1)
+
+
+def _build() -> bool:
+    try:
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+               str(_SRC), "-o", str(_LIB_PATH)]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    needs_build = (not _LIB_PATH.exists()
+                   or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime)
+    if needs_build and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.clt_u8_to_f32.argtypes = [u8p, f32p, ctypes.c_size_t,
+                                  ctypes.c_float, ctypes.c_int]
+    lib.clt_u8_hwc_to_cfirst_f32.argtypes = [
+        u8p, f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_float,
+        ctypes.c_int]
+    lib.clt_welford_update_u8.argtypes = [
+        u8p, f64p, f64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_int64,
+        ctypes.c_int]
+    lib.clt_welford_update_batch_u8.argtypes = [
+        u8p, f64p, f64p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int]
+    lib.clt_version.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u8_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def u8_to_f32(arr: np.ndarray, scale: float) -> np.ndarray:
+    """arr.astype(f32) * scale, threaded natively when available."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    lib = _load()
+    if lib is None:
+        return arr.astype(np.float32) * np.float32(scale)
+    out = np.empty(arr.shape, np.float32)
+    lib.clt_u8_to_f32(_as_u8_ptr(arr),
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      arr.size, scale, _NTHREADS)
+    return out
+
+
+def u8_hwc_to_cfirst_f32(arr: np.ndarray, scale: float) -> np.ndarray:
+    """(..., C) interleaved uint8 -> (C, pixels) planar float32 with
+    normalization — the fused merge kernel's channel-first layout."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    channels = arr.shape[-1]
+    pixels = arr.size // channels
+    lib = _load()
+    if lib is None:
+        flat = arr.reshape(pixels, channels).astype(np.float32) * scale
+        return np.ascontiguousarray(flat.T)
+    out = np.empty((channels, pixels), np.float32)
+    lib.clt_u8_hwc_to_cfirst_f32(
+        _as_u8_ptr(arr),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pixels, channels, scale, _NTHREADS)
+    return out
+
+
+def welford_update_batch_u8(frames: np.ndarray, mean: np.ndarray,
+                            m2: np.ndarray, scale: float,
+                            start_count: int) -> int:
+    """In-place Welford over a (B, ...) uint8 frame batch; returns the new
+    frame count.  Operation order matches video_processing.py:206-208."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    batch = frames.shape[0]
+    n = frames.size // batch
+    lib = _load()
+    if lib is None:
+        count = start_count
+        fm = mean.reshape(-1)
+        f2 = m2.reshape(-1)
+        for b in range(batch):
+            count += 1
+            x = frames[b].reshape(-1).astype(np.float64) * scale
+            delta = x - fm
+            fm += delta / count
+            f2 += delta * (x - fm)
+        return count
+    lib.clt_welford_update_batch_u8(
+        _as_u8_ptr(frames),
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        batch, n, scale, start_count, _NTHREADS)
+    return start_count + batch
+
+
+class HostWelford:
+    """Host-side streaming Welford accumulator over raw uint8 frames.
+
+    A native-threaded alternative to the device scan (ops/welford.py) for
+    environments where frames should not cross to the accelerator — same
+    finalization semantics as video_processing.py:210-215.
+    """
+
+    def __init__(self, shape, scale: float):
+        self.mean = np.zeros(shape, np.float64)
+        self.m2 = np.zeros(shape, np.float64)
+        self.count = 0
+        self.scale = float(scale)
+
+    def update(self, frames: np.ndarray) -> None:
+        if frames.ndim == len(self.mean.shape):
+            frames = frames[None]
+        self.count = welford_update_batch_u8(frames, self.mean, self.m2,
+                                             self.scale, self.count)
+
+    def finalize(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        if self.count < 2:
+            return self.mean.copy(), None
+        std = np.sqrt(self.m2 / (self.count - 1)) / np.sqrt(self.count)
+        return self.mean.copy(), std

@@ -1,0 +1,110 @@
+// Native host-side staging primitives for camera_linearity_tpu.
+//
+// The TPU compute path is JAX/XLA/Pallas; this library covers the host side
+// of the data path, where the reference package leans on single-threaded
+// NumPy (reference: modules/image_set.py:214-226 normalization,
+// modules/video_processing.py:188-215 streaming updates).  Everything here
+// is threaded with a simple pthread fork-join over row ranges:
+//
+//   * u8 -> f32 normalization (image load: dn / max_dn)
+//   * HWC u8 -> channel-first (C, P) f32 relayout (the fused merge kernel's
+//     preferred layout, ops/hdr_pallas.py)
+//   * fused Welford mean/M2 update directly from raw uint8 frames
+//     (bit-identical operation order to the reference loop)
+//
+// Built as a plain shared library; camera_linearity_tpu.native loads it via
+// ctypes and falls back to NumPy when unavailable.
+
+#include <cstdint>
+#include <cstddef>
+#include <thread>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+template <typename F>
+void parallel_for(std::size_t n, int nthreads, F&& fn) {
+    if (nthreads <= 1 || n < 1u << 16) {
+        fn(std::size_t{0}, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    std::size_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+        std::size_t lo = std::min(n, t * chunk);
+        std::size_t hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back([lo, hi, &fn] { fn(lo, hi); });
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// out[i] = in[i] * scale   (image normalization, image_set.py:223)
+void clt_u8_to_f32(const std::uint8_t* in, float* out, std::size_t n,
+                   float scale, int nthreads) {
+    parallel_for(n, nthreads, [&](std::size_t lo, std::size_t hi) {
+        for (std::size_t i = lo; i < hi; ++i)
+            out[i] = static_cast<float>(in[i]) * scale;
+    });
+}
+
+// (H*W, C) interleaved u8 -> (C, H*W) planar f32 with normalization.
+void clt_u8_hwc_to_cfirst_f32(const std::uint8_t* in, float* out,
+                              std::size_t pixels, std::size_t channels,
+                              float scale, int nthreads) {
+    parallel_for(pixels, nthreads, [&](std::size_t lo, std::size_t hi) {
+        for (std::size_t p = lo; p < hi; ++p) {
+            const std::uint8_t* row = in + p * channels;
+            for (std::size_t c = 0; c < channels; ++c)
+                out[c * pixels + p] = static_cast<float>(row[c]) * scale;
+        }
+    });
+}
+
+// Fused Welford update from a raw uint8 frame (count is the 1-based index
+// of this frame).  Operation order matches video_processing.py:206-208:
+//   x = in * scale; delta = x - mean; mean += delta / count;
+//   m2 += delta * (x - mean)
+void clt_welford_update_u8(const std::uint8_t* in, double* mean, double* m2,
+                           std::size_t n, double scale, std::int64_t count,
+                           int nthreads) {
+    const double inv_count = 1.0 / static_cast<double>(count);
+    parallel_for(n, nthreads, [&](std::size_t lo, std::size_t hi) {
+        for (std::size_t i = lo; i < hi; ++i) {
+            double x = static_cast<double>(in[i]) * scale;
+            double delta = x - mean[i];
+            mean[i] += delta * inv_count;
+            m2[i] += delta * (x - mean[i]);
+        }
+    });
+}
+
+// Batched variant: frames is (B, n) u8, applied sequentially (Welford is
+// order-dependent); threading is across pixels inside each frame.
+void clt_welford_update_batch_u8(const std::uint8_t* frames, double* mean,
+                                 double* m2, std::size_t batch,
+                                 std::size_t n, double scale,
+                                 std::int64_t start_count, int nthreads) {
+    parallel_for(n, nthreads, [&](std::size_t lo, std::size_t hi) {
+        for (std::size_t b = 0; b < batch; ++b) {
+            const std::uint8_t* in = frames + b * n;
+            const double inv_count =
+                1.0 / static_cast<double>(start_count + (std::int64_t)b + 1);
+            for (std::size_t i = lo; i < hi; ++i) {
+                double x = static_cast<double>(in[i]) * scale;
+                double delta = x - mean[i];
+                mean[i] += delta * inv_count;
+                m2[i] += delta * (x - mean[i]);
+            }
+        }
+    });
+}
+
+int clt_version() { return 1; }
+
+}  // extern "C"
