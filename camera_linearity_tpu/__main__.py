@@ -1,0 +1,187 @@
+"""Command-line interface for the main pipelines.
+
+The reference has no entry point at all — users drive it from scripts
+(SURVEY.md §1; every reference module ends in an empty __main__ guard).
+Here the four flagship pipelines are runnable directly:
+
+    python -m camera_linearity_tpu merge     --images DIR --icrf FILE
+    python -m camera_linearity_tpu linearity --images DIR [--icrf FILE]
+    python -m camera_linearity_tpu calibrate --images DIR --out FILE
+    python -m camera_linearity_tpu video     --videos DIR [--separately]
+    python -m camera_linearity_tpu dorf      --data DIR
+
+All commands take --config pointing at a reference-format config.ini.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_config(args):
+    from .config import CameraConfig
+    if args.config:
+        return CameraConfig.from_ini(args.config)
+    return CameraConfig()
+
+
+def _load_icrf(path, cfg):
+    import jax.numpy as jnp
+    from .utils import io
+    icrf, icrf_diff = io.read_icrf_file(path, cfg.bits)
+    return jnp.asarray(icrf), jnp.asarray(icrf_diff)
+
+
+def cmd_merge(args) -> int:
+    from .models.exposure_series import ExposureSeries
+    from .utils.observability import get_logger, timed
+    log = get_logger()
+    cfg = _load_config(args)
+    icrf, icrf_diff = _load_icrf(args.icrf, cfg)
+    series_list = ExposureSeries.from_dir_path(Path(args.images), config=cfg)
+    log.info("found %d exposure series", len(series_list))
+    for series in series_list:
+        series.load_value_images()
+        if args.std:
+            series.load_std_images()
+        with timed(f"merge {series.input_image_sets[0].features['subject']}",
+                   log):
+            hdr = series.process_HDR_image(
+                ICRF=icrf, ICRF_diff=icrf_diff, use_std=args.std,
+                apply_flat_field=not args.no_flat)
+        out_dir = Path(args.out) if args.out else Path(args.images) / "hdr"
+        hdr.save_64bit(out_dir / hdr.path.name, is_hdr=True)
+        log.info("wrote %s", out_dir / hdr.path.name)
+    return 0
+
+
+def cmd_linearity(args) -> int:
+    from .models.exposure_series import ExposureSeries
+    from .utils import visualization as viz
+    from .utils.observability import get_logger
+    log = get_logger()
+    cfg = _load_config(args)
+    icrf = None
+    if args.icrf:
+        icrf, _ = _load_icrf(args.icrf, cfg)
+    series_list = ExposureSeries.from_dir_path(Path(args.images), config=cfg)
+    for k, series in enumerate(series_list):
+        series.load_value_images()
+        if args.std:
+            series.load_std_images()
+        series.initialize_exposure_pairs()
+        series.process_linearity(ICRF=icrf, use_std=args.std)
+        abs_stats, rel_stats = series.collect_exposure_pair_stats()
+        out = Path(args.out) if args.out else Path(args.images)
+        for name, stats in (("absolute", abs_stats), ("relative",
+                                                      rel_stats)):
+            viz.create_linearity_plots(
+                stats, out / f"linearity_{name}_{k}.png", fit_line=True,
+                ylabel=f"{name} difference", symbol="R", config=cfg)
+        log.info("series %d: %d pairs, mean |rel| = %s", k,
+                 len(series.exposure_pairs),
+                 np.abs(rel_stats["means"]).mean(axis=0))
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    from .models import calibration as cal
+    from .utils import io
+    from .utils.observability import get_logger, timed
+    log = get_logger()
+    cfg = _load_config(args)
+    with timed("calibration", log):
+        icrf, e0, e1, ratio = cal.calibration(
+            args.lower, args.upper, data_spacing=args.spacing,
+            use_std=args.std, image_path=Path(args.images),
+            rng_seed=args.seed, config=cfg, maxiter=args.maxiter,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=100 if args.checkpoint else 0)
+    log.info("initial energies: %s", e0)
+    log.info("final energies:   %s", e1)
+    out = args.out or (Path(cfg.data_path or ".")
+                       / (cfg.icrf_calibrated_file or "ICRF_calibrated.txt"))
+    io.save_txt(out, icrf)
+    log.info("wrote %s", out)
+    return 0
+
+
+def cmd_video(args) -> int:
+    from .models import video
+    cfg = _load_config(args)
+    icrf = None
+    if args.icrf:
+        icrf, _ = _load_icrf(args.icrf, cfg)
+    video.process_directory(Path(args.videos), ICRF=icrf,
+                            separately=args.separately, config=cfg)
+    return 0
+
+
+def cmd_dorf(args) -> int:
+    from .models import dorf
+    cfg = _load_config(args)
+    if args.data:
+        cfg = cfg.replace(data_path=args.data)
+    dorf.process_CRF_data(cfg)
+    dorf.analyze_principal_components(cfg)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="camera_linearity_tpu",
+                                description=__doc__,
+                                formatter_class=
+                                argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--config", help="path to a config.ini")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    m = sub.add_parser("merge", help="HDR-merge exposure stacks")
+    m.add_argument("--images", required=True)
+    m.add_argument("--icrf", required=True)
+    m.add_argument("--out")
+    m.add_argument("--std", action="store_true",
+                   help="propagate uncertainty images")
+    m.add_argument("--no-flat", action="store_true")
+    m.set_defaults(fn=cmd_merge)
+
+    li = sub.add_parser("linearity", help="exposure-pair linearity analysis")
+    li.add_argument("--images", required=True)
+    li.add_argument("--icrf")
+    li.add_argument("--out")
+    li.add_argument("--std", action="store_true")
+    li.set_defaults(fn=cmd_linearity)
+
+    c = sub.add_parser("calibrate", help="solve the ICRF")
+    c.add_argument("--images", required=True)
+    c.add_argument("--out")
+    c.add_argument("--lower", type=float, default=-1.0)
+    c.add_argument("--upper", type=float, default=1.0)
+    c.add_argument("--spacing", type=int, default=150)
+    c.add_argument("--maxiter", type=int, default=1000)
+    c.add_argument("--seed", type=int, default=7)
+    c.add_argument("--std", action="store_true")
+    c.add_argument("--checkpoint")
+    c.set_defaults(fn=cmd_calibrate)
+
+    v = sub.add_parser("video", help="video mean/std frames")
+    v.add_argument("--videos", required=True)
+    v.add_argument("--icrf")
+    v.add_argument("--separately", action="store_true", default=True)
+    v.set_defaults(fn=cmd_video)
+
+    d = sub.add_parser("dorf", help="build the DoRF PCA basis")
+    d.add_argument("--data")
+    d.set_defaults(fn=cmd_dorf)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -191,7 +191,9 @@ def differential_evolution_batched(energy_fn: Callable,
                                    maxiter: int = 1000,
                                    energy_limit: float = 0.0,
                                    seed: int = 7,
-                                   mesh=None, pop_axis: str = "data"):
+                                   mesh=None, pop_axis: str = "data",
+                                   checkpoint_path=None,
+                                   checkpoint_every: int = 0):
     """All channels' DE solves as ONE device computation.
 
     ``energy_fn(params, *per_channel_data) -> scalar``; every element of
@@ -254,12 +256,17 @@ def differential_evolution_batched(energy_fn: Callable,
         return key, trials
 
     @jax.jit
-    def solve(pop0, keys0, *channel_data):
-        energies0 = all_energy(pop0, *channel_data)
+    def initial_energies(pop0, *channel_data):
+        return all_energy(pop0, *channel_data)
+
+    @jax.jit
+    def solve_segment(state, end_nit, *channel_data):
+        """Run generations until all channels converge, nit reaches
+        ``end_nit`` (dynamic), or the segment budget is exhausted."""
 
         def cond(state):
             _, _, _, nit, done, _ = state
-            return (~jnp.all(done)) & (nit < maxiter)
+            return (~jnp.all(done)) & (nit < end_nit)
 
         def body(state):
             pop, energies, keys, nit, done, frozen_at = state
@@ -278,15 +285,7 @@ def differential_evolution_batched(energy_fn: Callable,
             frozen_at = jnp.where(~done & newly_done, nit, frozen_at)
             return pop, energies, keys, nit, done | newly_done, frozen_at
 
-        state0 = (pop0, energies0, keys0, jnp.asarray(0),
-                  jnp.zeros(num_channels, bool),
-                  jnp.full(num_channels, maxiter))
-        pop, energies, _, nit, done, frozen_at = jax.lax.while_loop(
-            cond, body, state0)
-        best = jnp.argmin(energies, axis=1)
-        ch = jnp.arange(num_channels)
-        return (denorm(pop[ch, best]), energies[ch, best], denorm(pop),
-                energies, nit, done, jnp.min(energies0, axis=1), frozen_at)
+        return jax.lax.while_loop(cond, body, state)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -298,9 +297,39 @@ def differential_evolution_batched(energy_fn: Callable,
                                                                    P()))
             for d in channel_data)
 
-    x, e_best, pop, energies, nit, done, e0, frozen_at = solve(
-        pop0, keys0, *channel_data)
-    return DEResult(x=x, energy=e_best, population=pop, energies=energies,
+    # --- resume or fresh start ----------------------------------------
+    from ..utils.checkpoint import DECheckpoint
+    if checkpoint_path is not None and DECheckpoint.exists(checkpoint_path):
+        pop_r, energies_r, keys_r, nit_r, done_r = DECheckpoint.load(
+            checkpoint_path)
+        state = (pop_r.astype(dtype), energies_r.astype(dtype), keys_r,
+                 jnp.asarray(int(nit_r)), done_r,
+                 jnp.full(num_channels, maxiter))
+        e0 = jnp.min(energies_r, axis=1)
+    else:
+        energies0 = initial_energies(pop0, *channel_data)
+        e0 = jnp.min(energies0, axis=1)
+        state = (pop0, energies0, keys0, jnp.asarray(0),
+                 jnp.zeros(num_channels, bool),
+                 jnp.full(num_channels, maxiter))
+
+    segment = checkpoint_every if (checkpoint_path is not None
+                                   and checkpoint_every) else maxiter
+    while True:
+        nit_now = int(state[3])
+        if bool(jnp.all(state[4])) or nit_now >= maxiter:
+            break
+        end = min(maxiter, nit_now + segment)
+        state = solve_segment(state, jnp.asarray(end), *channel_data)
+        if checkpoint_path is not None:
+            DECheckpoint.save(checkpoint_path, state[0], state[1],
+                              state[2], int(state[3]), state[4])
+
+    pop, energies, _, nit, done, frozen_at = state
+    best = jnp.argmin(energies, axis=1)
+    ch = jnp.arange(num_channels)
+    return DEResult(x=denorm(pop[ch, best]), energy=energies[ch, best],
+                    population=denorm(pop), energies=energies,
                     n_iter=int(nit), converged=bool(jnp.all(done)),
                     initial_energy=e0), frozen_at
 
@@ -368,7 +397,8 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
                 mutation: Tuple[float, float] = (0.0, 1.95),
                 recombination: float = 0.4,
                 penalty: str = "soft",
-                mesh=None, pop_axis: str = "data"):
+                mesh=None, pop_axis: str = "data",
+                checkpoint_path=None, checkpoint_every: int = 0):
     """Solve the per-channel ICRF by differential evolution
     (ICRF_calibration_exposure.py:288-402).
 
@@ -454,7 +484,8 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
         x0=np.array(x0), popsize=popsize, maxiter=maxiter, tol=tol,
         mutation=mutation, recombination=recombination,
         energy_limit=energy_limit, seed=rng_seed,
-        mesh=mesh, pop_axis=pop_axis)
+        mesh=mesh, pop_axis=pop_axis,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
 
     icrf_out = np.zeros((cfg.datapoints, chs))
     initial_energies = np.asarray(result.initial_energy, float)

@@ -159,7 +159,9 @@ def analyze_principal_components(config: CameraConfig = DEFAULT_CONFIG,
     cfg = config
     out = []
     for i in range(len(cfg.icrf_files)):
-        icrf = io.read_txt_to_array(cfg.icrf_files[i], cfg.data_path)
+        # single-curve collections round-trip through savetxt as 1-D
+        icrf = np.atleast_2d(io.read_txt_to_array(cfg.icrf_files[i],
+                                                  cfg.data_path))
         mean = io.read_txt_to_array(cfg.mean_icrf_files[i], cfg.data_path)
         cov = covariance_matrix(icrf, mean)
         pca = np.asarray(principal_components(cov, cfg.num_of_pca_params))

@@ -48,9 +48,10 @@ def test_invert_recovers_icrf(tmp_path):
     np.testing.assert_allclose(inv[0], x_new ** 2.2, atol=5e-3)
 
 
-def test_principal_components_match_sklearn(rng):
+def test_principal_components_match_sklearn():
     from sklearn.decomposition import PCA
-    cov = rng.normal(size=(64, 64))
+    local = np.random.default_rng(42)
+    cov = local.normal(size=(64, 64))
     cov = cov @ cov.T
     k = 5
     ours = np.asarray(dorf.principal_components(cov, k))
@@ -59,9 +60,14 @@ def test_principal_components_match_sklearn(rng):
     skl.fit(cov)
     expect = skl.transform(cov)
     for n in range(k):
-        expect[:, n] /= np.linalg.norm(expect[:, n])
-        expect[:, n] -= expect[0, n]
-    np.testing.assert_allclose(ours, expect, rtol=1e-6, atol=1e-8)
+        col = expect[:, n] / np.linalg.norm(expect[:, n])
+        anchored = col - col[0]
+        # PCA component sign is arbitrary; the svd_flip tie-break can land
+        # differently between the jnp and LAPACK SVDs, so compare up to a
+        # per-column sign (flip-then-anchor == -anchored).
+        direct = np.max(np.abs(ours[:, n] - anchored))
+        flipped = np.max(np.abs(ours[:, n] + anchored))
+        assert min(direct, flipped) < 1e-6, (n, direct, flipped)
 
 
 def test_process_crf_data_end_to_end(tmp_path, rng):
