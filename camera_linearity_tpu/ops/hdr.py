@@ -196,18 +196,25 @@ def merge_stack_u8(stack_dn: Array, stack_std: Optional[Array],
 
 def merge_hdr(stack_val: Array, stack_std: Optional[Array], exposures: Array,
               icrf: Array, icrf_diff: Array, compat: str = "corrected",
-              use_pallas: bool = False) -> Tuple[Array, Optional[Array]]:
-    """Dispatch to a merge implementation.
+              use_pallas: Optional[bool] = None
+              ) -> Tuple[Array, Optional[Array]]:
+    """Dispatch to the fastest merge implementation.
 
-    The default is the jnp path: XLA's fusion of the shared one-hot LUT
-    contraction measured fastest on v5e (42 ms for 1920x1200x3x6 with std;
-    the hand-written Pallas kernel in ops/hdr_pallas.py computes the same
-    result but its Mosaic compile is currently impractically slow for the
-    full-size one-hot matmul).  ``use_pallas=True`` opts into the kernel.
+    On TPU with 8-bit tables the fused Pallas kernel (ops/hdr_pallas.py)
+    wins: 12.4 ms for 1920x1200x3x6 with std including the layout change
+    (8.2 ms on channel-first stacks) vs 29 ms for the fused-XLA radix
+    path.  Elsewhere — or for non-256-entry tables — the jnp path runs.
+    Pass ``use_pallas`` to force either implementation.
     """
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and icrf.shape[0] == 256)
     if use_pallas and jax.default_backend() == "tpu":
         from .hdr_pallas import merge_stack_pallas
         return merge_stack_pallas(stack_val, stack_std, exposures, icrf,
                                   icrf_diff, compat=compat)
+    if jnp.issubdtype(stack_val.dtype, jnp.integer):
+        return merge_stack_u8(stack_val, stack_std, exposures, icrf,
+                              icrf_diff, compat=compat)
     return merge_stack(stack_val, stack_std, exposures, icrf, icrf_diff,
                        compat=compat)
