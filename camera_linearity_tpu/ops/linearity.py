@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,8 +24,9 @@ from .stats import nanaverage
 Array = jnp.ndarray
 
 __all__ = ["upper_triangle_pairs", "valid_exposure_pairs",
-           "pairwise_linearity", "linearity_energy", "pin_endpoints",
-           "monotonicity_penalty_mask"]
+           "pairwise_linearity", "linearity_energy",
+           "linearity_energy_chunked", "pin_endpoints",
+           "monotonicity_penalty_mask", "constraint_violation"]
 
 
 def upper_triangle_pairs(n: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -150,6 +152,77 @@ def linearity_energy(icrf_curve: Array, stack_dn: Array,
         # Feasible curves keep the exact reference energy; infeasible ones
         # get a large graded penalty instead of inf (see
         # constraint_violation) so the solver can climb into feasibility.
+        soft = 1e3 * (1.0 + constraint_violation(icrf))
+        return jnp.where(invalid, soft, energy)
+    return jnp.where(invalid, jnp.inf, energy)
+
+
+def linearity_energy_chunked(icrf_curve: Array, stack_dn: Array,
+                             stack_std: Optional[Array], exposures: Array,
+                             lower_dn: int, upper_dn: int,
+                             ii: Array, jj: Array,
+                             use_relative: bool = True,
+                             penalty: str = "hard",
+                             chunk: int = 65536) -> Array:
+    """Pixel-streamed variant of :func:`linearity_energy`.
+
+    The plain energy materializes a (P, K) pairwise tensor; at full
+    resolution (no subsampling) that explodes under a vmapped population.
+    Here a ``lax.scan`` walks pixel chunks accumulating per-pair weighted
+    sums and weights (or sums and counts), so peak memory is O(chunk * K)
+    regardless of P — the streamed objective SURVEY.md §5 calls for.
+    Results match :func:`linearity_energy` to float tolerance.
+    """
+    icrf = pin_endpoints(icrf_curve)
+    invalid = monotonicity_penalty_mask(icrf)
+    lo_t = icrf[lower_dn]
+    hi_t = icrf[upper_dn]
+
+    p = stack_dn.shape[0]
+    k = ii.shape[0]
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+
+    dn = jnp.pad(stack_dn, ((0, pad), (0, 0)))
+    dn = dn.reshape(n_chunks, chunk, -1)
+    if stack_std is not None:
+        sstd = jnp.pad(stack_std, ((0, pad), (0, 0)))
+        sstd = sstd.reshape(n_chunks, chunk, -1)
+    # mask for the padded tail
+    live = (jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk) < p)
+
+    def body(carry, inputs):
+        num, den = carry
+        if stack_std is None:
+            dn_c, live_c = inputs
+            std_c = None
+        else:
+            dn_c, std_c, live_c = inputs
+        g = lut_lookup(dn_c.astype(jnp.int32)[..., None],
+                       icrf[:, None])[..., 0]
+        g = jnp.where((g < lo_t) | (g > hi_t), jnp.nan, g)
+        abs_diff, pair_std = pairwise_linearity(g, std_c, exposures, ii, jj,
+                                                use_relative)
+        if stack_std is not None:
+            finite = jnp.isfinite(abs_diff) & (pair_std != 0) & \
+                live_c[:, None]
+            wgt = jnp.where(finite, 1.0 / pair_std, 0.0)
+            num = num + jnp.sum(jnp.where(finite, abs_diff * wgt, 0.0),
+                                axis=0)
+            den = den + jnp.sum(wgt, axis=0)
+        else:
+            finite = jnp.isfinite(abs_diff) & live_c[:, None]
+            num = num + jnp.sum(jnp.where(finite, abs_diff, 0.0), axis=0)
+            den = den + jnp.sum(finite, axis=0)
+        return (num, den), None
+
+    zero = jnp.zeros((k,), icrf.dtype)
+    inputs = (dn, sstd, live) if stack_std is not None else (dn, live)
+    (num, den), _ = jax.lax.scan(body, (zero, zero), inputs)
+    per_pair = jnp.where(den == 0, jnp.nan, num / den)
+    energy = jnp.nanmean(per_pair)
+    energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
+    if penalty == "soft":
         soft = 1e3 * (1.0 + constraint_violation(icrf))
         return jnp.where(invalid, soft, energy)
     return jnp.where(invalid, jnp.inf, energy)
