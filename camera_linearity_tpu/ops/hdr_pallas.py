@@ -68,8 +68,12 @@ def _lookup(hi_row, lo_row, t012, iota16):
 
 
 def _make_kernel(n_images: int, compat: str, use_std: bool, is_u8: bool):
-    def kernel(val_ref, std_ref, t_ref, invt_ref, out_val_ref, out_std_ref,
-               g_ref, fp_ref):
+    def kernel(*refs):
+        if use_std:
+            (val_ref, std_ref, t_ref, invt_ref, out_val_ref, out_std_ref,
+             g_ref, fp_ref) = refs
+        else:
+            val_ref, t_ref, invt_ref, out_val_ref, g_ref = refs
         f32 = jnp.float32
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, _TILE_X), 0)
 
@@ -95,10 +99,15 @@ def _make_kernel(n_images: int, compat: str, use_std: bool, is_u8: bool):
         t2 = (r1 - t1.astype(f32)).astype(jnp.bfloat16)
         t012 = jnp.concatenate([t0, t1, t2], axis=0)
 
-        for n in range(n_images):
-            g, fp = _lookup(hi6[n:n + 1], lo6[n:n + 1], t012, iota16)
-            g_ref[n:n + 1, :] = g
-            fp_ref[n:n + 1, :] = fp
+        if use_std:
+            for n in range(n_images):
+                g, fp = _lookup(hi6[n:n + 1], lo6[n:n + 1], t012, iota16)
+                g_ref[n:n + 1, :] = g
+                fp_ref[n:n + 1, :] = fp
+        else:
+            for n in range(n_images):
+                g, _ = _lookup(hi6[n:n + 1], lo6[n:n + 1], t012, iota16)
+                g_ref[n:n + 1, :] = g
 
         g6 = g_ref[:, :]
         invt = invt_ref[0, :, :]                      # (N, 1)
@@ -135,37 +144,42 @@ def merge_stack_pallas_cfirst(val: Array, std: Optional[Array],
 
     tables = build_merge_tables(icrf, icrf_diff)
     inv_t = (1.0 / exposures.astype(f32)).reshape(1, n, 1)
-    if not use_std:
-        std = val  # placeholder block source; the kernel never reads it
 
     grid = (pl.cdiv(p, _TILE_X), c)
     kernel = _make_kernel(n, compat, use_std, is_u8)
 
-    out_val, out_std = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n, 1, _TILE_X), lambda i, ch: (ch, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1, _TILE_X), lambda i, ch: (ch, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, 16), lambda i, ch: (ch, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda i, ch: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, _TILE_X), lambda i, ch: (ch, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TILE_X), lambda i, ch: (ch, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((c, 1, p), f32),
-                   jax.ShapeDtypeStruct((c, 1, p), f32)],
-        scratch_shapes=[pltpu.VMEM((n, _TILE_X), f32),
-                        pltpu.VMEM((n, _TILE_X), f32)],
-        interpret=jax.default_backend() != "tpu",
-    )(val, std, tables, inv_t)
+    stack_spec = pl.BlockSpec((1, n, 1, _TILE_X), lambda i, ch: (ch, 0, 0, i),
+                              memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, 32, 16), lambda i, ch: (ch, 0, 0),
+                              memory_space=pltpu.VMEM)
+    invt_spec = pl.BlockSpec((1, n, 1), lambda i, ch: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, _TILE_X), lambda i, ch: (ch, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    if use_std:
+        out_val, out_std = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[stack_spec, stack_spec, table_spec, invt_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[jax.ShapeDtypeStruct((c, 1, p), f32),
+                       jax.ShapeDtypeStruct((c, 1, p), f32)],
+            scratch_shapes=[pltpu.VMEM((n, _TILE_X), f32),
+                            pltpu.VMEM((n, _TILE_X), f32)],
+            interpret=jax.default_backend() != "tpu",
+        )(val, std, tables, inv_t)
+    else:
+        out_val = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[stack_spec, table_spec, invt_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((c, 1, p), f32),
+            scratch_shapes=[pltpu.VMEM((n, _TILE_X), f32)],
+            interpret=jax.default_backend() != "tpu",
+        )(val, tables, inv_t)
+        out_std = None
 
     return out_val[:, 0, :], (out_std[:, 0, :] if use_std else None)
 
