@@ -100,6 +100,46 @@ def _evolve_member(key: Array, i: Array, pop: Array, best_idx: Array,
     return jnp.where(out, resample, trial)
 
 
+def _evolve_population(key: Array, pop: Array, energies: Array,
+                       scale: Array, recombination: float) -> Array:
+    """Whole-population trial generation without per-member gathers.
+
+    Semantics match vmapped :func:`_evolve_member` (currenttobest1bin,
+    distinct r0/r1 != i, guaranteed crossover point, bounds resampling) but
+    every member-indexed read goes through a one-hot matmul — dynamic
+    row-gathers serialize on TPU and dominated the solver's per-generation
+    cost (measured ~7 ms/generation before, launch-bound).
+    """
+    s, d = pop.shape
+    dtype = pop.dtype
+    k_r0, k_r1, k_cross, k_fill, k_bounds = jax.random.split(key, 5)
+    i = jnp.arange(s)
+
+    a = jax.random.randint(k_r0, (s,), 0, s - 1)
+    r0 = a + (a >= i)  # uniform over {0..s-1} \ {i}
+    b = jax.random.randint(k_r1, (s,), 0, s - 2)
+    lo = jnp.minimum(i, r0)
+    hi = jnp.maximum(i, r0)
+    r1 = b + (b >= lo)
+    r1 = r1 + (r1 >= hi)  # uniform over {0..s-1} \ {i, r0}
+
+    iota = jnp.arange(s)
+    best_idx = jnp.argmin(energies)
+    best = ((iota == best_idx).astype(dtype) @ pop)          # (D,)
+    pop_r0 = (r0[:, None] == iota).astype(dtype) @ pop       # (S, D)
+    pop_r1 = (r1[:, None] == iota).astype(dtype) @ pop
+    mutant = pop + scale * (best[None, :] - pop + pop_r0 - pop_r1)
+
+    cross = jax.random.uniform(k_cross, (s, d)) < recombination
+    fill_point = jax.random.randint(k_fill, (s,), 0, d)
+    cross = cross | (jnp.arange(d)[None, :] == fill_point[:, None])
+    trial = jnp.where(cross, mutant, pop)
+
+    resample = jax.random.uniform(k_bounds, (s, d), dtype)
+    out = (trial < 0.0) | (trial > 1.0)
+    return jnp.where(out, resample, trial)
+
+
 def differential_evolution(energy_fn: Callable[[Array], Array],
                            num_params: int,
                            bounds_lower: Array, bounds_upper: Array,
@@ -146,14 +186,10 @@ def differential_evolution(energy_fn: Callable[[Array], Array],
 
     def body(state):
         pop, energies, key, nit, _ = state
-        key, k_scale, k_members = jax.random.split(key, 3)
+        key, k_scale, k_gen = jax.random.split(key, 3)
         scale = jax.random.uniform(k_scale, (), pop.dtype, m_lo, m_hi)
-        best_idx = jnp.argmin(energies)
-        member_keys = jax.random.split(k_members, pop.shape[0])
-        trials = jax.vmap(
-            lambda k, i: _evolve_member(k, i, pop, best_idx, scale,
-                                        recombination)
-        )(member_keys, jnp.arange(pop.shape[0]))
+        trials = _evolve_population(k_gen, pop, energies, scale,
+                                    recombination)
         trial_energies = batched_energy(trials)
         accept = trial_energies < energies
         pop = jnp.where(accept[:, None], trials, pop)
@@ -193,7 +229,8 @@ def differential_evolution_batched(energy_fn: Callable,
                                    seed: int = 7,
                                    mesh=None, pop_axis: str = "data",
                                    checkpoint_path=None,
-                                   checkpoint_every: int = 0):
+                                   checkpoint_every: int = 0,
+                                   population_energy: bool = False):
     """All channels' DE solves as ONE device computation.
 
     ``energy_fn(params, *per_channel_data) -> scalar``; every element of
@@ -236,6 +273,9 @@ def differential_evolution_batched(energy_fn: Callable,
     pop0 = jnp.asarray(np.stack(pops), dtype)  # (C, S, D)
 
     def channel_energy(pop_c, *data_c):
+        if population_energy:
+            # energy_fn evaluates the whole (S, D) population at once
+            return energy_fn(denorm(pop_c), *data_c)
         return jax.vmap(lambda p: energy_fn(denorm(p), *data_c))(pop_c)
 
     all_energy = jax.vmap(channel_energy)  # over channels
@@ -245,14 +285,10 @@ def differential_evolution_batched(energy_fn: Callable,
         jnp.arange(seed, seed + num_channels))
 
     def channel_generation(key, pop, energies):
-        key, k_scale, k_members = jax.random.split(key, 3)
+        key, k_scale, k_gen = jax.random.split(key, 3)
         scale = jax.random.uniform(k_scale, (), pop.dtype, m_lo, m_hi)
-        best_idx = jnp.argmin(energies)
-        member_keys = jax.random.split(k_members, pop.shape[0])
-        trials = jax.vmap(
-            lambda k, i: _evolve_member(k, i, pop, best_idx, scale,
-                                        recombination)
-        )(member_keys, jnp.arange(pop.shape[0]))
+        trials = _evolve_population(k_gen, pop, energies, scale,
+                                    recombination)
         return key, trials
 
     @jax.jit
@@ -471,7 +507,39 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     mean_data = mean_j if use_mean_icrf else \
         jnp.zeros((chs, cfg.datapoints))
     std_data = std_stacks if use_std_stacks else None
-    if std_data is None:
+
+    # Population-batched objective: the observed DNs are static across
+    # generations, so their one-hot precomputes once and every
+    # generation's whole population evaluates via one wide MXU matmul
+    # (ops/linearity.py::population_linearity_energies).  Falls back to
+    # the per-candidate vmapped energy when the one-hot would be too big.
+    total_obs = int(np.prod(value_stacks.shape[1:]))
+    onehot_bytes = total_obs * cfg.datapoints * 4
+    use_population = onehot_bytes <= (1 << 30)
+
+    if use_population:
+        onehots = jnp.stack([
+            lin_ops.build_data_onehot(value_stacks[c], cfg.datapoints)
+            for c in range(chs)])
+
+        def pop_energy(params_s, pca_c, mean_c, onehot_c, std_c):
+            mean_for_curve = mean_c if use_mean_icrf else None
+            curves = jax.vmap(
+                lambda prm: icrf_from_params(prm, pca_c, mean_for_curve,
+                                             datapoints=cfg.datapoints)
+            )(params_s)
+            return lin_ops.population_linearity_energies(
+                curves, onehot_c, std_c, exposures, lower_dn, upper_dn,
+                ii_j, jj_j, penalty=penalty)
+
+        if std_data is None:
+            energy_fn = lambda prm, pca_c, mean_c, oh_c: pop_energy(  # noqa: E731
+                prm, pca_c, mean_c, oh_c, None)
+            channel_data = (pca_j, mean_data, onehots)
+        else:
+            energy_fn = pop_energy
+            channel_data = (pca_j, mean_data, onehots, std_data)
+    elif std_data is None:
         energy_fn = lambda p, pca_c, mean_c, stack_c: energy(  # noqa: E731
             p, pca_c, mean_c, stack_c, None)
         channel_data = (pca_j, mean_data, value_stacks)
@@ -485,7 +553,8 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
         mutation=mutation, recombination=recombination,
         energy_limit=energy_limit, seed=rng_seed,
         mesh=mesh, pop_axis=pop_axis,
-        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        population_energy=use_population)
 
     icrf_out = np.zeros((cfg.datapoints, chs))
     initial_energies = np.asarray(result.initial_energy, float)

@@ -157,6 +157,84 @@ def linearity_energy(icrf_curve: Array, stack_dn: Array,
     return jnp.where(invalid, jnp.inf, energy)
 
 
+def population_linearity_energies(curves: Array, data_onehot: Array,
+                                  stack_std: Optional[Array],
+                                  exposures: Array,
+                                  lower_dn: int, upper_dn: int,
+                                  ii: Array, jj: Array,
+                                  use_relative: bool = True,
+                                  penalty: str = "soft") -> Array:
+    """Energies of a WHOLE candidate population in one wide matmul.
+
+    Key observation: per generation only the candidate curves change — the
+    observed DNs are static.  So instead of vmapping a per-candidate LUT
+    gather (which materializes per-candidate one-hots), precompute the
+    one-hot of the DATA once, ``data_onehot``: (P*N, bits), and evaluate
+
+        g_all = data_onehot @ curves.T          # (P*N, S) — MXU, S wide
+
+    for the entire population per generation.  On the reference-sized
+    solver problem this drops the per-generation cost ~10x vs the vmapped
+    energy (the matmul has a wide N dimension, unlike per-pixel lookups).
+
+    ``curves``: (S, datapoints) raw candidate curves (un-pinned);
+    ``stack_std``: (P, N) or None; returns (S,) energies with the same
+    semantics as :func:`linearity_energy` under the given ``penalty``.
+    """
+    s = curves.shape[0]
+    n = exposures.shape[0]
+    pinned = jax.vmap(pin_endpoints)(curves)                  # (S, dp)
+    invalid = jax.vmap(monotonicity_penalty_mask)(pinned)     # (S,)
+    lo_t = pinned[:, lower_dn]                                # (S,)
+    hi_t = pinned[:, upper_dn]
+
+    g_flat = jnp.dot(data_onehot, pinned.T,
+                     precision=jax.lax.Precision.HIGHEST)     # (P*N, S)
+    g = g_flat.reshape(-1, n, s)                              # (P, N, S)
+    g = jnp.where((g < lo_t) | (g > hi_t), jnp.nan, g)
+
+    g_i = g[:, ii, :]                                         # (P, K, S)
+    g_j = g[:, jj, :]
+    r = (exposures[ii] / exposures[jj]).astype(g.dtype)[None, :, None]
+    scaled = g_j * r
+    diff = g_i - scaled
+    if use_relative:
+        diff = diff / scaled
+    abs_diff = jnp.abs(diff)
+
+    if stack_std is not None:
+        s_i = stack_std[:, ii, None]
+        s_j = stack_std[:, jj, None]
+        if use_relative:
+            pair_std = jnp.sqrt((s_i / scaled) ** 2
+                                + ((g_i * s_j) / (r * g_j ** 2)) ** 2)
+        else:
+            pair_std = jnp.sqrt(s_i ** 2 + (r * s_j) ** 2)
+        finite = jnp.isfinite(abs_diff) & (pair_std != 0)
+        wgt = jnp.where(finite, 1.0 / pair_std, 0.0)
+        num = jnp.sum(jnp.where(finite, abs_diff * wgt, 0.0), axis=0)
+        den = jnp.sum(wgt, axis=0)                            # (K, S)
+        per_pair = jnp.where(den == 0, jnp.nan, num / den)
+    else:
+        per_pair = jnp.nanmean(abs_diff, axis=0)              # (K, S)
+
+    energies = jnp.nanmean(per_pair, axis=0)                  # (S,)
+    energies = jnp.where(jnp.isnan(energies), jnp.inf, energies)
+    if penalty == "soft":
+        soft = 1e3 * (1.0 + jax.vmap(constraint_violation)(pinned))
+        return jnp.where(invalid, soft, energies)
+    return jnp.where(invalid, jnp.inf, energies)
+
+
+def build_data_onehot(stack_dn: Array, bits: int,
+                      dtype=jnp.float32) -> Array:
+    """Static (P*N, bits) one-hot of the observed DNs for
+    :func:`population_linearity_energies`."""
+    flat = stack_dn.reshape(-1).astype(jnp.int32)
+    iota = jnp.arange(bits, dtype=jnp.int32)
+    return (flat[:, None] == iota).astype(dtype)
+
+
 def linearity_energy_chunked(icrf_curve: Array, stack_dn: Array,
                              stack_std: Optional[Array], exposures: Array,
                              lower_dn: int, upper_dn: int,
