@@ -1,0 +1,117 @@
+"""End-to-end pipelines composing the framework's stages.
+
+The reference leaves composition to user scripts (README.md:29-43); these
+are the canonical flows, including BASELINE config 5's video -> HDR path:
+per-exposure videos reduce to mean/std frames (streaming Welford), the
+frames form an exposure series, and the series merges into an HDR radiance
+map with uncertainty — everything after decode on device.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CameraConfig, DEFAULT_CONFIG
+from ..measurand import Measurand
+from ..ops import hdr as hdr_ops
+from ..utils.observability import get_logger
+from .exposure_series import ExposureSeries
+from .image_set import ImageSet
+from . import video as video_mod
+
+Array = jnp.ndarray
+
+__all__ = ["videos_to_exposure_series", "video_to_hdr", "batch_video_to_hdr"]
+
+
+def _exposure_of(path: Path) -> float:
+    from ..utils import io
+    feats = io.features_from_file_name(path.with_suffix(".tif"))
+    return feats["exposure"]
+
+
+def videos_to_exposure_series(video_paths: Sequence[Path],
+                              config: CameraConfig = DEFAULT_CONFIG,
+                              batch_size: int = 32) -> ExposureSeries:
+    """Reduce per-exposure videos to an ExposureSeries of mean/std frames.
+
+    Each video's filename carries its exposure descriptor (the reference's
+    grammar, e.g. ``scene 5ms.avi``); the Welford scan produces the value
+    image (mean) and its uncertainty (std of the mean) per exposure.
+    """
+    sets: List[ImageSet] = []
+    for path in sorted(video_paths, key=_exposure_of):
+        out = video_mod.welford_algorithm(path, None, use_std=True,
+                                          config=config,
+                                          batch_size=batch_size,
+                                          quantize=False)
+        m = Measurand(jnp.asarray(out["mean"]), jnp.asarray(out["std"]))
+        sets.append(ImageSet(file_path=path.with_suffix(".tif"),
+                             measurand=m, config=config))
+    return ExposureSeries(input_image_sets=sets, config=config)
+
+
+def video_to_hdr(video_paths: Sequence[Path], ICRF: Array,
+                 ICRF_diff: Optional[Array] = None,
+                 config: CameraConfig = DEFAULT_CONFIG,
+                 batch_size: int = 32) -> ImageSet:
+    """BASELINE config 5 for one scene: videos -> mean/std stack -> HDR."""
+    log = get_logger()
+    series = videos_to_exposure_series(video_paths, config, batch_size)
+    log.info("video_to_hdr: %d exposures stacked",
+             len(series.input_image_sets))
+    return series.process_HDR_image(ICRF=jnp.asarray(ICRF),
+                                    ICRF_diff=None if ICRF_diff is None
+                                    else jnp.asarray(ICRF_diff),
+                                    list_of_dark_fields=[],
+                                    apply_flat_field=False)
+
+
+def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
+                       ICRF_diff: Optional[Array] = None,
+                       config: CameraConfig = DEFAULT_CONFIG,
+                       mesh=None) -> Dict[str, ImageSet]:
+    """Batch of scenes: stack every scene's series and merge them together.
+
+    With a mesh, the merge runs sharded (scenes over ``data``, rows over
+    ``pixel`` — parallel/sharded.py); otherwise one batched device call.
+    """
+    from ..ops.linearize import icrf_derivative
+    cfg = config
+    icrf_j = jnp.asarray(ICRF)
+    icrf_diff_j = jnp.asarray(ICRF_diff) if ICRF_diff is not None else \
+        icrf_derivative(icrf_j, cfg.bits)
+
+    names = list(scenes.keys())
+    series_list = [videos_to_exposure_series(scenes[k], cfg) for k in names]
+    stacks = [s.stack(with_std=True) for s in series_list]
+    batch_val = jnp.stack([sv for sv, _, _ in stacks])
+    batch_std = jnp.stack([ss for _, ss, _ in stacks])
+    exposures = stacks[0][2]
+
+    if mesh is not None:
+        from ..parallel import sharded
+        from ..parallel.mesh import shard_batch_of_scenes
+        bv = shard_batch_of_scenes(batch_val, mesh)
+        bs = shard_batch_of_scenes(batch_std, mesh)
+        out_val, out_std = sharded.merge_batch_sharded(
+            bv, bs, exposures, icrf_j, icrf_diff_j, mesh)
+    else:
+        import jax
+        out_val, out_std = jax.vmap(
+            lambda v, s: hdr_ops.merge_stack(v, s, exposures, icrf_j,
+                                             icrf_diff_j))(batch_val,
+                                                           batch_std)
+
+    results = {}
+    for i, name in enumerate(names):
+        first = series_list[i].input_image_sets[0]
+        hdr_set = ImageSet(file_path=first.path, features=first.features,
+                           measurand=Measurand(out_val[i], out_std[i]),
+                           config=cfg)
+        hdr_set.is_hdr = True
+        results[name] = hdr_set
+    return results

@@ -77,17 +77,21 @@ def _make_kernel(n_images: int, compat: str, use_std: bool, is_u8: bool):
         f32 = jnp.float32
         iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, _TILE_X), 0)
 
+        # constants pinned to f32/int32: under jax_enable_x64 weak f64
+        # literals inside Mosaic tracing trigger conversion recursion
+        c = lambda v: jnp.float32(v)  # noqa: E731
         raw = val_ref[0, :, 0, :]                     # (N, TILE_X)
         if is_u8:
             idx6 = raw.astype(jnp.int32)
-            x6 = idx6.astype(f32) * (1.0 / (_BITS - 1))
+            x6 = idx6.astype(f32) * c(1.0 / (_BITS - 1))
         else:
-            x6 = raw
-            idx6 = jnp.clip(jnp.round(x6 * (_BITS - 1.0)).astype(jnp.int32),
-                            0, _BITS - 1)
-        w6 = jnp.exp(-30.0 * (x6 - 0.5) ** 2)
+            x6 = raw.astype(f32)
+            idx6 = jnp.round(x6 * c(_BITS - 1)).astype(jnp.int32)
+            idx6 = jnp.minimum(jnp.maximum(idx6, jnp.int32(0)),
+                               jnp.int32(_BITS - 1))
+        w6 = jnp.exp(c(-30.0) * (x6 - c(0.5)) ** 2)
         sw = jnp.sum(w6, axis=0, keepdims=True)
-        inv_sw = 1.0 / sw
+        inv_sw = c(1.0) / sw
         hi6 = idx6 >> 4
         lo6 = idx6 & 15
 
@@ -114,8 +118,8 @@ def _make_kernel(n_images: int, compat: str, use_std: bool, is_u8: bool):
         out_val_ref[0, 0] = (jnp.sum(w6 * g6 * invt, axis=0) * inv_sw[0])
 
         if use_std:
-            s6 = std_ref[0, :, 0, :]
-            dw6 = -60.0 * (x6 - 0.5) * w6
+            s6 = std_ref[0, :, 0, :].astype(f32)
+            dw6 = c(-60.0) * (x6 - c(0.5)) * w6
             dg6 = fp_ref[:, :] * s6
             bracket6 = (dw6 * g6 + w6 * dg6) * inv_sw \
                 - (dw6 * w6 * g6) * (inv_sw * inv_sw)

@@ -1,0 +1,80 @@
+"""End-to-end video -> HDR pipeline (BASELINE config 5 family)."""
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from camera_linearity_tpu import CameraConfig
+from camera_linearity_tpu.models import pipeline
+
+
+def _write_video(path, frames_u8, fps=10):
+    import cv2 as cv
+    h, w = frames_u8.shape[1:3]
+    writer = cv.VideoWriter(str(path), cv.VideoWriter_fourcc(*"FFV1"), fps,
+                            (w, h))
+    for f in frames_u8:
+        writer.write(f)
+    writer.release()
+
+
+@pytest.fixture
+def scene_videos(tmp_path, rng):
+    """Three exposure videos of a static scene with shot-like noise."""
+    base = rng.uniform(0.2, 0.5, (24, 32, 3))
+    paths = []
+    for ms in (4, 8, 16):
+        mean_img = np.clip(base * (ms / 16), 0, 1)
+        frames = np.clip(
+            mean_img[None] + rng.normal(0, 0.02, (30, 24, 32, 3)), 0, 1)
+        u8 = np.around(frames * 255).astype(np.uint8)
+        p = tmp_path / f"scene {ms}ms.avi"
+        _write_video(p, u8)
+        paths.append(p)
+    import cv2 as cv
+    cap = cv.VideoCapture(str(paths[0]))
+    ok, _ = cap.read()
+    cap.release()
+    if not ok:
+        pytest.skip("no usable lossless codec")
+    return paths, base
+
+
+def test_videos_to_exposure_series(scene_videos):
+    paths, base = scene_videos
+    series = pipeline.videos_to_exposure_series(paths)
+    assert len(series.input_image_sets) == 3
+    exps = [s.features["exposure"] for s in series.input_image_sets]
+    assert exps == sorted(exps)
+    s0 = series.input_image_sets[0]
+    assert s0.measurand.std is not None
+    # mean frame close to the noiseless mean of the shortest exposure
+    np.testing.assert_allclose(np.asarray(s0.measurand.val),
+                               np.clip(base * 0.25, 0, 1), atol=0.03)
+
+
+def test_video_to_hdr_end_to_end(scene_videos):
+    paths, base = scene_videos
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)  # identity ICRF
+    hdr = pipeline.video_to_hdr(paths, jnp.asarray(icrf))
+    val = np.asarray(hdr.measurand.val)
+    std = np.asarray(hdr.measurand.std)
+    assert val.shape == (24, 32, 3)
+    assert np.isfinite(val).all() and np.isfinite(std).all()
+    # identity ICRF + linear scene: HDR ~ radiance/exposure scale
+    # (value / (base/t_ref)) should be roughly constant
+    expect = base / 0.016
+    ratio = val / expect
+    assert 0.8 < np.median(ratio) < 1.2
+    assert hdr.is_hdr
+
+
+def test_batch_video_to_hdr(scene_videos, tmp_path, rng):
+    paths, base = scene_videos
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
+    scenes = {"a": paths, "b": paths}
+    out = pipeline.batch_video_to_hdr(scenes, jnp.asarray(icrf))
+    assert set(out.keys()) == {"a", "b"}
+    np.testing.assert_allclose(np.asarray(out["a"].measurand.val),
+                               np.asarray(out["b"].measurand.val))
