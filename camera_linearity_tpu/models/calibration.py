@@ -20,7 +20,6 @@ best energy falls below ``energy_limit``
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
 from typing import Callable, Optional, Tuple
 

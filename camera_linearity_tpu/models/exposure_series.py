@@ -22,7 +22,6 @@ import numpy as np
 from ..config import CameraConfig, DEFAULT_CONFIG
 from ..measurand import Measurand
 from ..ops import hdr as hdr_ops
-from ..ops import linearity as lin_ops
 from ..ops import stats as stats_ops
 from ..utils import general as gf
 from ..utils import io

@@ -9,7 +9,7 @@ map with uncertainty — everything after decode on device.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

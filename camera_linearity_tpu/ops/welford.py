@@ -9,7 +9,7 @@ vmap (batch of scenes) and shard_map (spatial sharding) unchanged.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax
