@@ -20,6 +20,7 @@ best energy falls below ``energy_limit``
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from pathlib import Path
 from typing import Callable, Optional, Tuple
 
@@ -213,6 +214,72 @@ def differential_evolution(energy_fn: Callable[[Array], Array],
         initial_energy=jnp.min(energies0))
 
 
+@lru_cache(maxsize=64)
+def _make_batched_solver(energy_fn: Callable, population_energy: bool,
+                         recombination: float, m_lo: float, m_hi: float,
+                         tol: float, energy_limit: float):
+    """Build (initial_energies, solve_segment) jitted once per static
+    configuration.
+
+    Caching on the (hashable) energy function + scalar hyperparameters lets
+    repeated calibrations reuse the jit cache instead of re-tracing the
+    whole solver (~2-4 s per call otherwise).  Bounds arrays travel as
+    runtime arguments.
+    """
+
+    def channel_energy(pop_c, lower, upper, *data_c):
+        denormed = lower + pop_c * (upper - lower)
+        if population_energy:
+            return energy_fn(denormed, *data_c)
+        return jax.vmap(lambda prm: energy_fn(prm, *data_c))(denormed)
+
+    def all_energy(pop, lower, upper, *channel_data):
+        return jax.vmap(
+            lambda pc, *dc: channel_energy(pc, lower, upper, *dc)
+        )(pop, *channel_data)
+
+    def channel_generation(key, pop, energies):
+        key, k_scale, k_gen = jax.random.split(key, 3)
+        scale = jax.random.uniform(k_scale, (), pop.dtype, m_lo, m_hi)
+        trials = _evolve_population(k_gen, pop, energies, scale,
+                                    recombination)
+        return key, trials
+
+    @jax.jit
+    def initial_energies(pop0, lower, upper, *channel_data):
+        return all_energy(pop0, lower, upper, *channel_data)
+
+    @jax.jit
+    def solve_segment(state, end_nit, lower, upper, *channel_data):
+        """Run generations until all channels converge or nit reaches
+        ``end_nit`` (dynamic)."""
+
+        def cond(state):
+            _, _, _, nit, done, _ = state
+            return (~jnp.all(done)) & (nit < end_nit)
+
+        def body(state):
+            pop, energies, keys, nit, done, frozen_at = state
+            keys, trials = jax.vmap(channel_generation)(keys, pop, energies)
+            trial_energies = all_energy(trials, lower, upper, *channel_data)
+            accept = (trial_energies < energies) & ~done[:, None]
+            pop = jnp.where(accept[:, :, None], trials, pop)
+            energies = jnp.where(accept, trial_energies, energies)
+            nit = nit + 1
+
+            finite = jnp.all(jnp.isfinite(energies), axis=1)
+            e_mean = jnp.where(finite, jnp.mean(energies, axis=1), jnp.inf)
+            e_std = jnp.where(finite, jnp.std(energies, axis=1), jnp.inf)
+            newly_done = (e_std <= tol * jnp.abs(e_mean)) | \
+                (jnp.min(energies, axis=1) < energy_limit)
+            frozen_at = jnp.where(~done & newly_done, nit, frozen_at)
+            return pop, energies, keys, nit, done | newly_done, frozen_at
+
+        return jax.lax.while_loop(cond, body, state)
+
+    return initial_energies, solve_segment
+
+
 def differential_evolution_batched(energy_fn: Callable,
                                    channel_data: Tuple,
                                    num_channels: int,
@@ -271,56 +338,13 @@ def differential_evolution_batched(energy_fn: Callable,
         pops.append(init_pop)
     pop0 = jnp.asarray(np.stack(pops), dtype)  # (C, S, D)
 
-    def channel_energy(pop_c, *data_c):
-        if population_energy:
-            # energy_fn evaluates the whole (S, D) population at once
-            return energy_fn(denorm(pop_c), *data_c)
-        return jax.vmap(lambda p: energy_fn(denorm(p), *data_c))(pop_c)
-
-    all_energy = jax.vmap(channel_energy)  # over channels
-
     m_lo, m_hi = mutation
     keys0 = jax.vmap(jax.random.PRNGKey)(
         jnp.arange(seed, seed + num_channels))
 
-    def channel_generation(key, pop, energies):
-        key, k_scale, k_gen = jax.random.split(key, 3)
-        scale = jax.random.uniform(k_scale, (), pop.dtype, m_lo, m_hi)
-        trials = _evolve_population(k_gen, pop, energies, scale,
-                                    recombination)
-        return key, trials
-
-    @jax.jit
-    def initial_energies(pop0, *channel_data):
-        return all_energy(pop0, *channel_data)
-
-    @jax.jit
-    def solve_segment(state, end_nit, *channel_data):
-        """Run generations until all channels converge, nit reaches
-        ``end_nit`` (dynamic), or the segment budget is exhausted."""
-
-        def cond(state):
-            _, _, _, nit, done, _ = state
-            return (~jnp.all(done)) & (nit < end_nit)
-
-        def body(state):
-            pop, energies, keys, nit, done, frozen_at = state
-            keys, trials = jax.vmap(channel_generation)(keys, pop, energies)
-            trial_energies = all_energy(trials, *channel_data)
-            accept = (trial_energies < energies) & ~done[:, None]
-            pop = jnp.where(accept[:, :, None], trials, pop)
-            energies = jnp.where(accept, trial_energies, energies)
-            nit = nit + 1
-
-            finite = jnp.all(jnp.isfinite(energies), axis=1)
-            e_mean = jnp.where(finite, jnp.mean(energies, axis=1), jnp.inf)
-            e_std = jnp.where(finite, jnp.std(energies, axis=1), jnp.inf)
-            newly_done = (e_std <= tol * jnp.abs(e_mean)) | \
-                (jnp.min(energies, axis=1) < energy_limit)
-            frozen_at = jnp.where(~done & newly_done, nit, frozen_at)
-            return pop, energies, keys, nit, done | newly_done, frozen_at
-
-        return jax.lax.while_loop(cond, body, state)
+    initial_energies, solve_segment = _make_batched_solver(
+        energy_fn, population_energy, float(recombination), float(m_lo),
+        float(m_hi), float(tol), float(energy_limit))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -342,7 +366,7 @@ def differential_evolution_batched(energy_fn: Callable,
                  jnp.full(num_channels, maxiter))
         e0 = jnp.min(energies_r, axis=1)
     else:
-        energies0 = initial_energies(pop0, *channel_data)
+        energies0 = initial_energies(pop0, lower, upper, *channel_data)
         e0 = jnp.min(energies0, axis=1)
         state = (pop0, energies0, keys0, jnp.asarray(0),
                  jnp.zeros(num_channels, bool),
@@ -355,7 +379,8 @@ def differential_evolution_batched(energy_fn: Callable,
         if bool(jnp.all(state[4])) or nit_now >= maxiter:
             break
         end = min(maxiter, nit_now + segment)
-        state = solve_segment(state, jnp.asarray(end), *channel_data)
+        state = solve_segment(state, jnp.asarray(end), lower, upper,
+                              *channel_data)
         if checkpoint_path is not None:
             DECheckpoint.save(checkpoint_path, state[0], state[1],
                               state[2], int(state[3]), state[4])
@@ -412,6 +437,42 @@ def initialize_channel_image_stacks(image_path: Path, use_std: bool,
     return (jnp.asarray(value_stacks), None if std_stacks is None
             else jnp.asarray(std_stacks), jnp.asarray(exposures, float),
             pixel_ratio)
+
+
+@lru_cache(maxsize=64)
+def _make_population_energy(use_mean: bool, penalty: str, lower_dn: int,
+                            upper_dn: int, datapoints: int, with_std: bool):
+    """Population-batched channel energy with a stable identity, so the
+    jitted solver built around it caches across calibration() calls."""
+
+    def fn(params_s, pca_c, mean_c, onehot_c, exposures_c, ii_c, jj_c,
+           *rest):
+        std_c = rest[0] if with_std else None
+        mean_for_curve = mean_c if use_mean else None
+        curves = jax.vmap(
+            lambda prm: icrf_from_params(prm, pca_c, mean_for_curve,
+                                         datapoints=datapoints))(params_s)
+        return lin_ops.population_linearity_energies(
+            curves, onehot_c, std_c, exposures_c, lower_dn, upper_dn,
+            ii_c, jj_c, penalty=penalty)
+    return fn
+
+
+@lru_cache(maxsize=64)
+def _make_candidate_energy(use_mean: bool, penalty: str, lower_dn: int,
+                           upper_dn: int, datapoints: int, with_std: bool):
+    """Per-candidate channel energy (fallback when the data one-hot would
+    be too large to precompute)."""
+
+    def fn(params, pca_c, mean_c, stack_c, exposures_c, ii_c, jj_c, *rest):
+        std_c = rest[0] if with_std else None
+        mean_for_curve = mean_c if use_mean else None
+        curve = icrf_from_params(params, pca_c, mean_for_curve,
+                                 datapoints=datapoints)
+        return lin_ops.linearity_energy(curve, stack_c, std_c, exposures_c,
+                                        lower_dn, upper_dn, ii_c, jj_c,
+                                        penalty=penalty)
+    return fn
 
 
 def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
@@ -491,16 +552,10 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     mean_j = None if mean_icrf_arrays is None else \
         jnp.asarray(np.asarray(mean_icrf_arrays), float)         # (C, dp)
     use_std_stacks = std_stacks is not None
-    init_fn = None if initial_function is None else \
-        jnp.asarray(initial_function, float)
 
-    def energy(params, pca_c, mean_c, stack_c, std_c):
-        mean_for_curve = mean_c if use_mean_icrf else None
-        curve = icrf_from_params(params, pca_c, mean_for_curve,
-                                 datapoints=cfg.datapoints)
-        return lin_ops.linearity_energy(curve, stack_c, std_c, exposures,
-                                        lower_dn, upper_dn, ii_j, jj_j,
-                                        penalty=penalty)
+    exposures_c = jnp.tile(exposures[None, :], (chs, 1))
+    ii_c = jnp.tile(ii_j[None, :], (chs, 1))
+    jj_c = jnp.tile(jj_j[None, :], (chs, 1))
 
     # Dummy per-channel placeholders keep the vmapped signature uniform.
     mean_data = mean_j if use_mean_icrf else \
@@ -520,31 +575,18 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
         onehots = jnp.stack([
             lin_ops.build_data_onehot(value_stacks[c], cfg.datapoints)
             for c in range(chs)])
-
-        def pop_energy(params_s, pca_c, mean_c, onehot_c, std_c):
-            mean_for_curve = mean_c if use_mean_icrf else None
-            curves = jax.vmap(
-                lambda prm: icrf_from_params(prm, pca_c, mean_for_curve,
-                                             datapoints=cfg.datapoints)
-            )(params_s)
-            return lin_ops.population_linearity_energies(
-                curves, onehot_c, std_c, exposures, lower_dn, upper_dn,
-                ii_j, jj_j, penalty=penalty)
-
-        if std_data is None:
-            energy_fn = lambda prm, pca_c, mean_c, oh_c: pop_energy(  # noqa: E731
-                prm, pca_c, mean_c, oh_c, None)
-            channel_data = (pca_j, mean_data, onehots)
-        else:
-            energy_fn = pop_energy
-            channel_data = (pca_j, mean_data, onehots, std_data)
-    elif std_data is None:
-        energy_fn = lambda p, pca_c, mean_c, stack_c: energy(  # noqa: E731
-            p, pca_c, mean_c, stack_c, None)
-        channel_data = (pca_j, mean_data, value_stacks)
+        energy_fn = _make_population_energy(
+            use_mean_icrf, penalty, lower_dn, upper_dn, cfg.datapoints,
+            use_std_stacks)
+        channel_data = (pca_j, mean_data, onehots, exposures_c, ii_c, jj_c)
     else:
-        energy_fn = energy
-        channel_data = (pca_j, mean_data, value_stacks, std_data)
+        energy_fn = _make_candidate_energy(
+            use_mean_icrf, penalty, lower_dn, upper_dn, cfg.datapoints,
+            use_std_stacks)
+        channel_data = (pca_j, mean_data, value_stacks, exposures_c, ii_c,
+                        jj_c)
+    if use_std_stacks:
+        channel_data = channel_data + (std_data,)
 
     result, _frozen = differential_evolution_batched(
         energy_fn, channel_data, chs, len(x0), lower_b, upper_b,
