@@ -10,6 +10,7 @@ arrays.
 """
 from __future__ import annotations
 
+from functools import partial
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Union
 
@@ -72,6 +73,19 @@ def _frame_batches(file_paths: List[Path], batch_size: int
         yield np.stack(batch)
 
 
+@partial(jax.jit, static_argnames=("max_dn",))
+def _prepare_frames(frames_u8, icrf_dev, max_dn: int):
+    """uint8 frames -> float (optionally ICRF-linearized) on device."""
+    if icrf_dev is not None:
+        out, _ = linearize(frames_u8.astype(jnp.int32), None, icrf_dev,
+                           max_dn=max_dn)
+        return out.astype(jnp.float32)
+    return frames_u8.astype(jnp.float32) / max_dn
+
+
+_single_update = jax.jit(wf.welford_update)
+
+
 def welford_algorithm(file_paths: Union[Path, List[Path]],
                       ICRF: Optional[Array] = None,
                       use_std: bool = False,
@@ -100,24 +114,14 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
     max_dn = config.max_dn
     icrf_dev = None if ICRF is None else jnp.asarray(ICRF)
 
-    @jax.jit
-    def prepare(frames_u8):
-        if icrf_dev is not None:
-            out, _ = linearize(frames_u8.astype(jnp.int32), None, icrf_dev,
-                               max_dn=max_dn)
-            return out.astype(jnp.float32)
-        return frames_u8.astype(jnp.float32) / max_dn
-
-    single_update = jax.jit(wf.welford_update)
     state = wf.welford_init((height, width, config.num_of_chs))
     for batch in _frame_batches(file_paths, batch_size):
+        frames = _prepare_frames(jnp.asarray(batch), icrf_dev, max_dn)
         if batch.shape[0] == batch_size:
-            state = wf.welford_update_batch(state,
-                                            prepare(jnp.asarray(batch)))
+            state = wf.welford_update_batch(state, frames)
         else:  # remainder: single-frame path, avoids a new scan compile
-            frames = prepare(jnp.asarray(batch))
             for k in range(batch.shape[0]):
-                state = single_update(state, frames[k])
+                state = _single_update(state, frames[k])
 
     mean, std = wf.welford_finalize(state, use_std=True)
     mean_np = np.asarray(mean)
@@ -130,6 +134,28 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
             # behind the quantize flag; video_processing.py:214-215)
             std_np = np.around(std_np).astype(np.uint8)
     return {"mean": mean_np, "std": std_np}
+
+
+def _profile_update(profiles, frame, mean_dev, bits: int):
+    chs = profiles.shape[-1]
+    combined = mean_dev * bits + frame.astype(jnp.int32)
+    flat = combined.reshape(-1, chs)
+
+    def per_channel(col):
+        return jax.ops.segment_sum(jnp.ones_like(col, jnp.int32), col,
+                                   num_segments=bits * bits)
+    counts = jax.vmap(per_channel, in_axes=1, out_axes=1)(flat)
+    return profiles + counts.reshape(bits, bits, chs)
+
+
+_profile_one_frame = jax.jit(_profile_update, static_argnames=("bits",))
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def _profile_accumulate(profiles, frames, mean_dev, bits: int):
+    return jax.lax.scan(
+        lambda p, f: (_profile_update(p, f, mean_dev, bits), None),
+        profiles, frames)[0]
 
 
 def compute_noise_profiles(video_files: List[Path],
@@ -148,31 +174,17 @@ def compute_noise_profiles(video_files: List[Path],
                                    quantize=True)["mean"]
     mean_dev = jnp.asarray(mean_frame.astype(np.int32))
 
-    def _one_frame(profiles, frame):
-        combined = mean_dev * bits + frame.astype(jnp.int32)
-        flat = combined.reshape(-1, chs)
-
-        def per_channel(col):
-            return jax.ops.segment_sum(jnp.ones_like(col, jnp.int32), col,
-                                       num_segments=bits * bits)
-        counts = jax.vmap(per_channel, in_axes=1, out_axes=1)(flat)
-        return profiles + counts.reshape(bits, bits, chs)
-
-    @jax.jit
-    def accumulate(profiles, frames):
-        return jax.lax.scan(lambda p, f: (_one_frame(p, f), None),
-                            profiles, frames)[0]
-
-    single = jax.jit(_one_frame)
     profiles = jnp.zeros((bits, bits, chs), jnp.int32)
     for video_file in video_files:
         for batch in _frame_batches([video_file], batch_size):
             if batch.shape[0] == batch_size:
-                profiles = accumulate(profiles, jnp.asarray(batch))
+                profiles = _profile_accumulate(profiles, jnp.asarray(batch),
+                                               mean_dev, bits)
             else:
                 frames = jnp.asarray(batch)
                 for k in range(batch.shape[0]):
-                    profiles = single(profiles, frames[k])
+                    profiles = _profile_one_frame(profiles, frames[k],
+                                                  mean_dev, bits)
     return np.asarray(profiles), mean_frame
 
 
