@@ -1,0 +1,99 @@
+"""HDR merge with the full corrections prologue/epilogue:
+dark-frame bad-pixel repair ahead of the merge, flat-field after
+(BASELINE config 3 family; reference exposure_series.py:399-419).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from camera_linearity_tpu import CameraConfig, Measurand
+from camera_linearity_tpu.models.exposure_series import ExposureSeries
+from camera_linearity_tpu.models.image_set import ImageSet
+
+
+@pytest.fixture
+def corrected_setup(rng):
+    cfg = CameraConfig(dark_threshold=0.05, median_filter_kernel_size=3,
+                       flat_field_mid_percentage=0.05)
+    n, h, w, c = 3, 100, 120, 3
+    exposures_ms = [400, 800, 1600]  # above dark_threshold (0.05 s=50ms)
+    stack = rng.uniform(0.2, 0.8, (n, h, w, c))
+    # hot pixel at a known site in every frame
+    stack[:, 10, 11, :] = 1.0
+    sets = []
+    for i, ms in enumerate(exposures_ms):
+        sets.append(ImageSet(f"{ms}ms BF scene 50x.tif",
+                             measurand=Measurand(
+                                 jnp.asarray(stack[i]),
+                                 jnp.asarray(rng.uniform(0.002, 0.01,
+                                                         (h, w, c)))),
+                             config=cfg))
+    # dark frames: exact exposure matches flagging the hot pixel
+    darks = []
+    for ms in exposures_ms:
+        dval = np.zeros((h, w, c))
+        dval[10, 11, :] = 0.9  # above dark_threshold
+        darks.append(ImageSet(f"{ms}ms dark.tif",
+                              measurand=Measurand(jnp.asarray(dval)),
+                              config=cfg))
+    # flat field matching illumination+magnification, with std
+    flat = ImageSet("flat BF 50x.tif",
+                    measurand=Measurand(
+                        jnp.asarray(rng.uniform(0.7, 1.0, (h, w, c))),
+                        jnp.asarray(rng.uniform(0.001, 0.01, (h, w, c)))),
+                    config=cfg)
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
+    return cfg, sets, darks, flat, icrf, stack
+
+
+def test_hdr_with_dark_bad_pixel_repair(corrected_setup):
+    cfg, sets, darks, flat, icrf, stack = corrected_setup
+    series = ExposureSeries(input_image_sets=sets, config=cfg)
+    hdr = series.process_HDR_image(ICRF=jnp.asarray(icrf),
+                                   list_of_dark_fields=darks,
+                                   apply_flat_field=False)
+    val = np.asarray(hdr.measurand.val)
+    # the hot pixel must have been median-repaired before merging:
+    # without repair its merged value would reflect DN=1.0 at every
+    # exposure (>> neighbors); with repair it sits near its neighborhood
+    neighborhood = val[8:13, 9:14, 0]
+    hot = val[10, 11, 0]
+    assert hot <= neighborhood.max() + 1e-6
+    assert np.isfinite(val).all()
+
+
+def test_hdr_with_flat_field_epilogue(corrected_setup):
+    cfg, sets, darks, flat, icrf, stack = corrected_setup
+    series = ExposureSeries(input_image_sets=sets, config=cfg)
+    hdr = series.process_HDR_image(ICRF=jnp.asarray(icrf),
+                                   list_of_dark_fields=[],
+                                   flat_field=flat,
+                                   apply_flat_field=True)
+    base = ExposureSeries(
+        input_image_sets=[ImageSet(s.path, measurand=s.measurand,
+                                   features=s.features, config=cfg)
+                          for s in sets],
+        config=cfg).process_HDR_image(ICRF=jnp.asarray(icrf),
+                                      list_of_dark_fields=[],
+                                      apply_flat_field=False)
+    # flat-field correction divides by the flat and rescales by its ROI
+    # mean: oracle from ops.filters on the uncorrected merge
+    from camera_linearity_tpu.ops import filters
+    expect_val, expect_std = filters.flat_field_correction(
+        base.measurand.val, base.measurand.std, flat.measurand.val,
+        flat.measurand.std, cfg.flat_field_mid_percentage)
+    np.testing.assert_allclose(np.asarray(hdr.measurand.val),
+                               np.asarray(expect_val), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(hdr.measurand.std),
+                               np.asarray(expect_std), rtol=1e-10)
+
+
+def test_measurand_shims(rng):
+    m = Measurand(jnp.asarray(rng.uniform(0, 1, (4, 4, 3))),
+                  jnp.asarray(rng.uniform(0, 0.1, (4, 4, 3))))
+    z = m.zeros_like_measurand()
+    assert float(jnp.sum(z.val)) == 0.0 and float(jnp.sum(z.std)) == 0.0
+    val_np, std_np = m.to_numpy()
+    assert isinstance(val_np, np.ndarray) and isinstance(std_np, np.ndarray)
+    m2 = Measurand(jnp.ones((2, 2, 1)))
+    assert m2.to_numpy()[1] is None
