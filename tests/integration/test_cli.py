@@ -124,3 +124,24 @@ principal components = pca_b.txt,pca_g.txt,pca_r.txt
     rc = main(["--config", str(ini), "dorf", "--data", str(data)])
     assert rc == 0
     assert (data / "pca_g.txt").exists()
+
+
+def test_cli_video(tmp_path, rng):
+    import cv2 as cv
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    frames = rng.integers(60, 200, (12, 24, 32, 3), dtype=np.uint8)
+    w = cv.VideoWriter(str(vdir / "scene 5ms.avi"),
+                       cv.VideoWriter_fourcc(*"FFV1"), 10, (32, 24))
+    for f in frames:
+        w.write(f)
+    w.release()
+    cap = cv.VideoCapture(str(vdir / "scene 5ms.avi"))
+    ok, _ = cap.read()
+    cap.release()
+    if not ok:
+        pytest.skip("no usable codec")
+    rc = main(["video", "--videos", str(vdir)])
+    assert rc == 0
+    assert (vdir / "mean" / "scene 5ms.tif").exists()
+    assert (vdir / "std" / "scene 5ms STD.tif").exists()
