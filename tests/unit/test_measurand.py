@@ -441,3 +441,39 @@ def test_scalar_promotion():
     r = 3 * m
     _assert_close(r.val, [6.0])
     _assert_close(r.std, [0.3])
+
+
+@settings(max_examples=40, deadline=None)
+@given(broadcastable_pairs())
+def test_mul_distributive_over_add(pairs):
+    """a*(b+c) == a*b + a*c on values (reference test_measurand.py:313-378)."""
+    a, b = map(_m, pairs)
+    c = Measurand(jnp.ones_like(b.val) * 0.5)
+    r1 = a * (b + c)
+    r2 = a * b + a * c
+    _assert_close(r1.val, r2.val, rtol=1e-10)
+
+
+@settings(max_examples=40, deadline=None)
+@given(broadcastable_pairs())
+def test_div_distributive_over_add(pairs):
+    """(a+b)/c == a/c + b/c on values (reference test_measurand.py:248-310)."""
+    a, b = map(_m, pairs)
+    c = Measurand(jnp.ones_like(a.val) * 2.0)
+    try:
+        r1 = (a + b) / c
+        r2 = a / c + b / c
+    except (ValueError, TypeError):
+        return
+    _assert_close(r1.val, r2.val, rtol=1e-10)
+
+
+def test_div_by_zero_semantics():
+    """Division by zero follows IEEE semantics like the reference
+    (test_measurand.py:248-310): finite/0 -> inf, 0/0 -> nan."""
+    num = Measurand(jnp.asarray([1.0, 0.0, -2.0]))
+    den = Measurand(jnp.zeros(3))
+    out = np.asarray((num / den).val)
+    assert np.isposinf(out[0])
+    assert np.isnan(out[1])
+    assert np.isneginf(out[2])
