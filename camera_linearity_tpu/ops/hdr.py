@@ -200,19 +200,19 @@ def merge_hdr(stack_val: Array, stack_std: Optional[Array], exposures: Array,
               ) -> Tuple[Array, Optional[Array]]:
     """Dispatch to the fastest merge implementation.
 
-    On TPU with 8-bit tables the fused Pallas kernel (ops/hdr_pallas.py)
-    wins: 12.4 ms for 1920x1200x3x6 with std including the layout change
-    (8.2 ms on channel-first stacks) vs 29 ms for the fused-XLA radix
-    path.  Elsewhere — or for non-256-entry tables — the jnp path runs.
-    Pass ``use_pallas`` to force either implementation.
+    On TPU with 8-bit tables the fused v2 Pallas kernel (ops/hdr_pallas2.py)
+    wins: 3.9 ms (~585 MP/s) for 1920x1200x3x6 with std directly on NHWC
+    stacks vs 29 ms for the fused-XLA radix path and 12.4 ms for the
+    round-1 kernel.  Elsewhere — or for non-256-entry tables — the jnp
+    path runs.  Pass ``use_pallas`` to force either implementation.
     """
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and icrf.shape[0] == 256)
     if use_pallas and jax.default_backend() == "tpu":
-        from .hdr_pallas import merge_stack_pallas
-        return merge_stack_pallas(stack_val, stack_std, exposures, icrf,
-                                  icrf_diff, compat=compat)
+        from .hdr_pallas2 import merge_nhwc_fused
+        return merge_nhwc_fused(stack_val, stack_std, exposures, icrf,
+                                icrf_diff, compat=compat)
     if jnp.issubdtype(stack_val.dtype, jnp.integer):
         return merge_stack_u8(stack_val, stack_std, exposures, icrf,
                               icrf_diff, compat=compat)
