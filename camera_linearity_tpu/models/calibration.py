@@ -63,52 +63,18 @@ def sobol_init_population(num_members: int, num_params: int,
     return sampler.random(num_members)
 
 
-def _sample_two_distinct(key: Array, s: int, i: Array) -> Tuple[Array, Array]:
-    """Two distinct member indices != i, uniformly."""
-    k0, k1 = jax.random.split(key)
-    a = jax.random.randint(k0, (), 0, s - 1)
-    a = a + (a >= i)  # uniform over {0..s-1} \ {i}
-    b = jax.random.randint(k1, (), 0, s - 2)
-    lo = jnp.minimum(i, a)
-    hi = jnp.maximum(i, a)
-    b = b + (b >= lo)
-    b = b + (b >= hi)  # uniform over {0..s-1} \ {i, a}
-    return a, b
-
-
-def _evolve_member(key: Array, i: Array, pop: Array, best_idx: Array,
-                   scale: Array, recombination: float) -> Array:
-    """One trial vector: currenttobest1 mutation + binomial crossover.
-
-    mutant = x_i + F (x_best - x_i + x_r0 - x_r1); trial components taken
-    from the mutant where rand < CR, plus one guaranteed crossover point;
-    out-of-[0,1] components resampled uniformly (SciPy _ensure_constraint).
-    """
-    s, d = pop.shape
-    k_idx, k_cross, k_fill, k_bounds = jax.random.split(key, 4)
-    r0, r1 = _sample_two_distinct(k_idx, s, i)
-    x_i = pop[i]
-    mutant = x_i + scale * (pop[best_idx] - x_i + pop[r0] - pop[r1])
-
-    cross = jax.random.uniform(k_cross, (d,)) < recombination
-    fill_point = jax.random.randint(k_fill, (), 0, d)
-    cross = cross.at[fill_point].set(True)
-    trial = jnp.where(cross, mutant, x_i)
-
-    resample = jax.random.uniform(k_bounds, (d,))
-    out = (trial < 0.0) | (trial > 1.0)
-    return jnp.where(out, resample, trial)
-
-
 def _evolve_population(key: Array, pop: Array, energies: Array,
                        scale: Array, recombination: float) -> Array:
     """Whole-population trial generation without per-member gathers.
 
-    Semantics match vmapped :func:`_evolve_member` (currenttobest1bin,
-    distinct r0/r1 != i, guaranteed crossover point, bounds resampling) but
-    every member-indexed read goes through a one-hot matmul — dynamic
-    row-gathers serialize on TPU and dominated the solver's per-generation
-    cost (measured ~7 ms/generation before, launch-bound).
+    SciPy currenttobest1bin semantics per member i (reference driver:
+    ICRF_calibration_exposure.py:357-370): mutant = x_i + F (x_best - x_i
+    + x_r0 - x_r1) with distinct r0, r1 != i, binomial crossover with one
+    guaranteed point, out-of-[0,1] components resampled uniformly
+    (SciPy _ensure_constraint).  Every member-indexed read goes through a
+    one-hot matmul — dynamic row-gathers serialize on TPU and dominated
+    the solver's per-generation cost (measured ~7 ms/generation,
+    launch-bound).
     """
     s, d = pop.shape
     dtype = pop.dtype

@@ -287,7 +287,10 @@ class ExposureSeries:
         if apply_flat_field:
             flat = flat_field if flat_field is not None \
                 else hdr_set.get_flat_field()
-            if flat is not None and hdr_std is not None:
+            # unconditional when a flat exists, matching the reference
+            # (exposure_series.py:415-417); value-only merges flat-field
+            # the value and keep std None.
+            if flat is not None:
                 hdr_set = hdr_set.flat_field_correction(flat)
 
         self.merged_image_set = hdr_set

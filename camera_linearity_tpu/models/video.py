@@ -91,14 +91,15 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
                       use_std: bool = False,
                       config: CameraConfig = DEFAULT_CONFIG,
                       batch_size: int = 32,
-                      quantize: bool = True) -> Dict[str, np.ndarray]:
+                      quantize: bool = False) -> Dict[str, np.ndarray]:
     """Mean (and std-of-mean) frame over all frames of the given videos
     (video_processing.py:161-219).
 
     Frames linearize through the ICRF LUT on device when one is given
     (fixing the reference's ``if ICRF:`` array-truthiness bug,
-    video_processing.py:200).  ``quantize`` replicates the reference's
-    uint8 outputs.
+    video_processing.py:200).  The default returns float arrays;
+    ``quantize=True`` opts into the reference's uint8 outputs, including
+    its bug of rounding the [0,1]-scale std straight to uint8.
     """
     if not isinstance(file_paths, list):
         file_paths = [file_paths]
@@ -273,35 +274,48 @@ def process_STD_data(config: CameraConfig = DEFAULT_CONFIG,
     return std_data if pass_result else None
 
 
+def _save_frame(save_path: Path, arr: np.ndarray) -> None:
+    """uint8 frames via OpenCV; float frames as 64-bit tifs."""
+    if arr.dtype == np.uint8:
+        cv.imwrite(str(save_path), arr)
+    else:
+        io.save_image(save_path, arr)
+
+
 def process_video(video_path: Path, ICRF: Optional[Array] = None,
                   use_std: bool = True,
-                  config: CameraConfig = DEFAULT_CONFIG) -> None:
+                  config: CameraConfig = DEFAULT_CONFIG,
+                  quantize: bool = False) -> None:
     """Mean/std frames of one video, saved as tifs
-    (video_processing.py:222-236)."""
-    ret = welford_algorithm(video_path, ICRF, use_std, config=config)
+    (video_processing.py:222-236).  Float (64-bit tif) outputs by
+    default; ``quantize=True`` writes the reference's uint8 frames."""
+    ret = welford_algorithm(video_path, ICRF, use_std, config=config,
+                            quantize=quantize)
     for key, arr in ret.items():
         if arr is not None:
             save_path = video_path.parent.joinpath(
                 video_path.name.replace(".avi", f".{key}.tif"))
-            io.save_image(save_path, arr) if arr.dtype != np.uint8 else \
-                cv.imwrite(str(save_path), arr)
+            _save_frame(save_path, arr)
 
 
 def process_directory(dir_path: Path, ICRF: Optional[Array] = None,
                       separately: bool = True,
-                      config: CameraConfig = DEFAULT_CONFIG) -> None:
+                      config: CameraConfig = DEFAULT_CONFIG,
+                      quantize: bool = False) -> None:
     """Process every .avi in a directory, separately or pooled
-    (video_processing.py:239-274)."""
+    (video_processing.py:239-274).  Float outputs by default, like
+    process_video."""
     video_files = sorted(dir_path.glob("*.avi"))
     if not separately:
         ret = welford_algorithm(list(video_files), ICRF, use_std=True,
-                                config=config)
+                                config=config, quantize=quantize)
         for key, arr in ret.items():
             if arr is not None:
-                cv.imwrite(str(dir_path.joinpath(f"total_{key}.tif")), arr)
+                _save_frame(dir_path.joinpath(f"total_{key}.tif"), arr)
         return
     for path in video_files:
-        ret = welford_algorithm(path, ICRF, use_std=True, config=config)
+        ret = welford_algorithm(path, ICRF, use_std=True, config=config,
+                                quantize=quantize)
         for key, arr in ret.items():
             if arr is None:
                 continue
@@ -311,4 +325,4 @@ def process_directory(dir_path: Path, ICRF: Optional[Array] = None,
                 name = path.name.replace(".avi", " STD.tif")
             else:
                 name = path.name.replace(".avi", ".tif")
-            cv.imwrite(str(save_dir.joinpath(name)), arr)
+            _save_frame(save_dir.joinpath(name), arr)

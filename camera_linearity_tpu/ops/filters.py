@@ -80,22 +80,28 @@ def flat_field_roi_mean(flat: Array, mid_percentage: float) -> Array:
     return jnp.mean(flat[x0:x1, y0:y1, ...], axis=(0, 1))
 
 
-def flat_field_correction(val: Array, std: Array, flat_val: Array,
-                          flat_std: Array, mid_percentage: float
-                          ) -> Tuple[Array, Array]:
+def flat_field_correction(val: Array, std: Optional[Array], flat_val: Array,
+                          flat_std: Optional[Array], mid_percentage: float
+                          ) -> Tuple[Array, Optional[Array]]:
     """Flat-field (vignetting / fixed-pattern) correction with uncertainty.
 
     val_out = (val / flat) * mean_ROI(flat); std_out combines acquisition,
     flat-field and flat-field-mean uncertainty terms exactly as
-    measurand.py:559-604.
+    measurand.py:559-604.  The value math needs no uncertainty, so the
+    correction also applies to value-only data (the reference applies it
+    unconditionally after a merge, exposure_series.py:415-417): ``std``
+    None yields ``std_out`` None; a missing ``flat_std`` drops the two
+    flat-uncertainty terms.
     """
     ff_means = flat_field_roi_mean(flat_val, mid_percentage)
-    ff_mean_stds = flat_field_roi_mean(flat_std, mid_percentage)
+    out_val = (val / flat_val) * ff_means
+    if std is None:
+        return out_val, None
 
     u_acq = (std ** 2) / (flat_val ** 2) * ff_means ** 2
-    u_ff = (val ** 2) / (flat_val ** 4) * (flat_std ** 2) * ff_means ** 2
-    u_ffm = (val ** 2) / (flat_val ** 2) * ff_mean_stds ** 2
-
-    out_std = jnp.sqrt(u_acq + u_ff + u_ffm)
-    out_val = (val / flat_val) * ff_means
-    return out_val, out_std
+    if flat_std is not None:
+        ff_mean_stds = flat_field_roi_mean(flat_std, mid_percentage)
+        u_acq = u_acq \
+            + (val ** 2) / (flat_val ** 4) * (flat_std ** 2) * ff_means ** 2 \
+            + (val ** 2) / (flat_val ** 2) * ff_mean_stds ** 2
+    return out_val, jnp.sqrt(u_acq)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -132,13 +133,19 @@ def weighted_histogram(values: Array, bins: int,
 
 
 def gaussian_kde(values: Array, x_range: Array,
-                 std: Optional[Array] = None) -> Array:
+                 std: Optional[Array] = None,
+                 chunk: int = 131072) -> Array:
     """Weighted Gaussian KDE with Silverman bandwidth, evaluated on x_range.
 
     jnp reimplementation of scipy.stats.gaussian_kde as used by the reference
     (measurand.py:716-761): weights are 1/std (zero-std and non-finite points
     excluded), Silverman's factor computed from the effective number of
     weighted samples.
+
+    The evaluation streams over data-point chunks of size ``chunk`` via
+    ``lax.scan`` (the reference streams through scipy the same way), so the
+    (points, samples) kernel matrix never materializes — peak memory is
+    O(chunk * len(x_range)) and megapixel inputs evaluate fine.
     """
     flat = values.reshape(-1)
     finite = jnp.isfinite(flat)
@@ -162,10 +169,27 @@ def gaussian_kde(values: Array, x_range: Array,
     factor = (neff * 3.0 / 4.0) ** (-1.0 / 5.0)
     bw2 = var * factor ** 2
 
-    diff = x_range[:, None] - x[None, :]
-    kernel = jnp.exp(-0.5 * diff ** 2 / bw2) / jnp.sqrt(2.0 * jnp.pi * bw2)
-    kernel = kernel * jnp.where(finite, w, 0.0)[None, :]
-    return jnp.sum(kernel, axis=1)
+    norm = 1.0 / jnp.sqrt(2.0 * jnp.pi * bw2)
+    wv = jnp.where(finite, w, 0.0)
+
+    def eval_chunk(xc, wc):
+        diff = x_range[:, None] - xc[None, :]
+        return jnp.sum(jnp.exp(-0.5 * diff ** 2 / bw2) * wc[None, :],
+                       axis=1)
+
+    n = x.size
+    if n <= chunk:
+        return eval_chunk(x, wv) * norm
+
+    k = -(-n // chunk)
+    pad = k * chunk - n
+    xp = jnp.pad(x, (0, pad))
+    wp = jnp.pad(wv, (0, pad))  # zero weight: padding contributes nothing
+    acc, _ = jax.lax.scan(
+        lambda carry, xw: (carry + eval_chunk(*xw), None),
+        jnp.zeros_like(x_range),
+        (xp.reshape(k, chunk), wp.reshape(k, chunk)))
+    return acc * norm
 
 
 def weighted_percentile(values: Array,

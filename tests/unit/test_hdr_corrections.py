@@ -88,6 +88,52 @@ def test_hdr_with_flat_field_epilogue(corrected_setup):
                                np.asarray(expect_std), rtol=1e-10)
 
 
+def test_hdr_flat_field_applies_to_value_only_merge(corrected_setup):
+    """A use_std=False merge still flat-fields the value (the reference
+    applies the correction unconditionally, exposure_series.py:415-417);
+    std stays None."""
+    cfg, sets, darks, flat, icrf, stack = corrected_setup
+    series = ExposureSeries(input_image_sets=sets, config=cfg)
+    hdr = series.process_HDR_image(ICRF=jnp.asarray(icrf),
+                                   list_of_dark_fields=[],
+                                   use_std=False,
+                                   flat_field=flat,
+                                   apply_flat_field=True)
+    assert hdr.measurand.std is None
+    base = ExposureSeries(
+        input_image_sets=[ImageSet(s.path, measurand=s.measurand,
+                                   features=s.features, config=cfg)
+                          for s in sets],
+        config=cfg).process_HDR_image(ICRF=jnp.asarray(icrf),
+                                      list_of_dark_fields=[],
+                                      use_std=False,
+                                      apply_flat_field=False)
+    from camera_linearity_tpu.ops import filters
+    expect_val, expect_std = filters.flat_field_correction(
+        base.measurand.val, None, flat.measurand.val,
+        flat.measurand.std, cfg.flat_field_mid_percentage)
+    assert expect_std is None
+    np.testing.assert_allclose(np.asarray(hdr.measurand.val),
+                               np.asarray(expect_val), rtol=1e-10)
+
+
+def test_flat_field_correction_without_flat_std(corrected_setup, rng):
+    """Missing flat-field uncertainty drops the two flat terms but keeps
+    the acquisition term."""
+    from camera_linearity_tpu.ops import filters
+    cfg, _, _, flat, _, _ = corrected_setup
+    val = jnp.asarray(rng.uniform(0.2, 0.8, (100, 120, 3)))
+    std = jnp.asarray(rng.uniform(0.001, 0.01, (100, 120, 3)))
+    out_val, out_std = filters.flat_field_correction(
+        val, std, flat.measurand.val, None, cfg.flat_field_mid_percentage)
+    ff_means = filters.flat_field_roi_mean(flat.measurand.val,
+                                           cfg.flat_field_mid_percentage)
+    expect_std = np.sqrt(np.asarray(std) ** 2
+                         / np.asarray(flat.measurand.val) ** 2
+                         * np.asarray(ff_means) ** 2)
+    np.testing.assert_allclose(np.asarray(out_std), expect_std, rtol=1e-6)
+
+
 def test_measurand_shims(rng):
     m = Measurand(jnp.asarray(rng.uniform(0, 1, (4, 4, 3))),
                   jnp.asarray(rng.uniform(0, 0.1, (4, 4, 3))))
