@@ -221,26 +221,34 @@ class ExposureSeries:
         self.exposure_pairs = valid
 
     # --- HDR merge ------------------------------------------------------
-    def _corrected_stack(self, list_of_dark_fields: Optional[List[ImageSet]],
-                         dark_threshold: Optional[float], with_std: bool
-                         ) -> Tuple[Array, Optional[Array], Array]:
-        """Load the stack with the bad-pixel prologue applied per image
-        (the per-image half of exposure_series.py:317-345,371-381)."""
-        vals, stds = [], []
+    def _stacks_with_darks(self,
+                           list_of_dark_fields: Optional[List[ImageSet]],
+                           with_std: bool
+                           ) -> Tuple[Array, Optional[Array], Array, Array]:
+        """Load the raw stack plus a per-exposure dark-frame stack for the
+        fused corrections prologue (exposure_series.py:317-345,371-381).
+
+        Host code only selects which dark matches each exposure
+        (exact-or-scale-down, image_set.py:157-198); exposures without a
+        match get an all-zero dark plane, making the fused bad-pixel
+        repair an exact no-op there (the reference skips those images).
+        """
+        vals, stds, darks = [], [], []
         for s in self.input_image_sets:
             if s.measurand is None or s.measurand.val is None:
                 s.load_value_image()
             if with_std and s.measurand.std is None:
                 s.load_std_image()
-            dark = s.get_dark_field(list_of_dark_fields)
-            if dark is not None:
-                s = s.bad_pixel_filter(dark, dark_threshold)
             vals.append(s.measurand.val)
             if with_std:
                 stds.append(s.measurand.std)
+            dark = s.get_dark_field(list_of_dark_fields)
+            darks.append(jnp.zeros_like(s.measurand.val) if dark is None
+                         else dark.measurand.val)
         stack_val = jnp.stack(vals)
         stack_std = jnp.stack(stds) if with_std else None
-        return stack_val, stack_std, jnp.asarray(self.exposures)
+        return (stack_val, stack_std, jnp.stack(darks),
+                jnp.asarray(self.exposures))
 
     def process_HDR_image(self, ICRF: Optional[Array] = None,
                           ICRF_diff: Optional[Array] = None,
@@ -269,29 +277,42 @@ class ExposureSeries:
             list_of_dark_fields = ImageSet.multiple_from_path(
                 cfg.default_dark_path, config=cfg)
 
-        stack_val, stack_std, exposures = self._corrected_stack(
-            list_of_dark_fields, cfg.dark_threshold, use_std)
-
-        hdr_val, hdr_std = hdr_ops.merge_hdr(
-            stack_val, stack_std, exposures, jnp.asarray(ICRF),
-            jnp.asarray(ICRF_diff), compat=cfg.compat_mode
-            if cfg.compat_mode in ("corrected", "reference") else "corrected")
+        stack_val, stack_std, dark_stack, exposures = \
+            self._stacks_with_darks(list_of_dark_fields, use_std)
 
         first = self.input_image_sets[0]
+        flat_val = flat_std = None
+        flat = None
+        if apply_flat_field:
+            flat = flat_field if flat_field is not None \
+                else first.get_flat_field()
+            # unconditional when a flat exists, matching the reference
+            # (exposure_series.py:415-417); value-only merges flat-field
+            # the value and keep std None.
+            if flat is not None:
+                if flat.measurand is None or flat.measurand.val is None:
+                    flat.load_value_image()
+                if flat.measurand.std is None:
+                    flat.load_std_image()
+                flat_val = flat.measurand.val
+                flat_std = flat.measurand.std
+
+        hdr_val, hdr_std = hdr_ops.merge_corrected(
+            stack_val, stack_std, dark_stack, exposures, jnp.asarray(ICRF),
+            jnp.asarray(ICRF_diff),
+            jnp.asarray(cfg.dark_threshold, dtype=jnp.float32),
+            flat_val, flat_std,
+            mid_percentage=cfg.flat_field_mid_percentage,
+            compat=cfg.compat_mode
+            if cfg.compat_mode in ("corrected", "reference")
+            else "corrected",
+            kernel_size=cfg.median_filter_kernel_size)
+
         hdr_set = ImageSet(
             file_path=first.get_file_path_without_exposure(),
             features=first.features,
             measurand=Measurand(hdr_val, hdr_std), config=cfg)
         hdr_set.is_hdr = True
-
-        if apply_flat_field:
-            flat = flat_field if flat_field is not None \
-                else hdr_set.get_flat_field()
-            # unconditional when a flat exists, matching the reference
-            # (exposure_series.py:415-417); value-only merges flat-field
-            # the value and keep std None.
-            if flat is not None:
-                hdr_set = hdr_set.flat_field_correction(flat)
 
         self.merged_image_set = hdr_set
         return hdr_set

@@ -36,7 +36,8 @@ from .uncertainty import gaussian_weight
 
 Array = jnp.ndarray
 
-__all__ = ["sum_of_weights", "merge_stack", "merge_stack_u8", "merge_hdr"]
+__all__ = ["sum_of_weights", "merge_stack", "merge_stack_u8", "merge_hdr",
+           "merge_corrected"]
 
 
 def sum_of_weights(stack_val: Array) -> Tuple[Array, Array]:
@@ -194,6 +195,49 @@ def merge_stack_u8(stack_dn: Array, stack_std: Optional[Array],
     return _chunked_over_rows(core2, h, row_chunk, stack_dn, stack_std)
 
 
+@partial(jax.jit, static_argnames=("compat", "kernel_size",
+                                   "mid_percentage"))
+def merge_corrected(stack_val: Array, stack_std: Optional[Array],
+                    dark_stack: Array, exposures: Array, icrf: Array,
+                    icrf_diff: Array, dark_threshold: Array,
+                    flat_val: Optional[Array] = None,
+                    flat_std: Optional[Array] = None,
+                    mid_percentage: float = 0.05,
+                    compat: str = "corrected", kernel_size: int = 3
+                    ) -> Tuple[Array, Optional[Array]]:
+    """Corrections-fused merge: bad-pixel prologue -> merge -> flat epilogue
+    in ONE jitted computation (BASELINE config 3; reference runs the
+    prologue as a per-image Python pass, exposure_series.py:371-381, and
+    the epilogue as a separate call, :415-417).
+
+    ``dark_stack`` is (N, H, W, C) of per-exposure dark frames — all-zero
+    planes for exposures without a matched dark (the repair is then an
+    exact no-op, like the reference's skip).  The median repair runs
+    vmapped over the exposure axis; XLA fuses it with the normalization
+    into the merge kernel's input stream, so the stack makes one HBM
+    round-trip for the whole chain.
+    """
+    from .filters import bad_pixel_filter, flat_field_correction
+    if stack_std is None:
+        fixed_val = jax.vmap(
+            lambda v, d: bad_pixel_filter(v, None, d, dark_threshold,
+                                          kernel_size)[0])(
+            stack_val, dark_stack)
+        fixed_std = None
+    else:
+        fixed_val, fixed_std = jax.vmap(
+            lambda v, s, d: bad_pixel_filter(v, s, d, dark_threshold,
+                                             kernel_size))(
+            stack_val, stack_std, dark_stack)
+
+    hdr_val, hdr_std = merge_hdr(fixed_val, fixed_std, exposures, icrf,
+                                 icrf_diff, compat=compat)
+    if flat_val is not None:
+        hdr_val, hdr_std = flat_field_correction(hdr_val, hdr_std, flat_val,
+                                                 flat_std, mid_percentage)
+    return hdr_val, hdr_std
+
+
 def merge_hdr(stack_val: Array, stack_std: Optional[Array], exposures: Array,
               icrf: Array, icrf_diff: Array, compat: str = "corrected",
               use_pallas: Optional[bool] = None
@@ -208,7 +252,7 @@ def merge_hdr(stack_val: Array, stack_std: Optional[Array], exposures: Array,
     """
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
-                      and icrf.shape[0] == 256)
+                      and icrf.shape[0] in (256, 4096))
     if use_pallas and jax.default_backend() == "tpu":
         from .hdr_pallas2 import merge_nhwc_fused
         return merge_nhwc_fused(stack_val, stack_std, exposures, icrf,

@@ -2,10 +2,12 @@
 
 Replaces the round-1 kernel's channel-first requirement (ops/hdr_pallas.py)
 with a formulation that merges logical ``(N, H, W, C)`` stacks with no
-physical relayout and ~3x less device time.  Measured on one v5e chip
-(BASELINE config 2: 1920x1200x3, 6 exposures, val+std): 3.9 ms / ~585 MP/s
-vs 12.4 ms round 1 and 500 MP/s target.  The design rests on four measured
-facts (benchmarks/exp_kernel.py):
+physical relayout and ~3x less device time, and generalizes the lookup to
+8-bit (256-entry, radix 16x16) and 12-bit (4096-entry, radix 64x8x8)
+tables.  Measured on one v5e chip (BASELINE config 2: 1920x1200x3, 6
+exposures, val+std): 3.9 ms / ~585 MP/s vs 12.4 ms round 1 and the
+500 MP/s target.  The design rests on four measured facts
+(benchmarks/exp_kernel.py):
 
 1. **XLA stores logical NHWC channel-planar.**  A (N, H, W, C) f32 array
    has layout ``major_to_minor=(0, 3, 1, 2)`` — physically (N, C, H, W)
@@ -20,19 +22,20 @@ facts (benchmarks/exp_kernel.py):
    dim, one-hots build from 4-D iota broadcasts, and stage-2 reduces over
    a true sublane axis.  No transposes or lane-merges exist in the body.
 3. **The 3 exact bf16 table parts belong on the contraction dim.**  With
-   parts on the output dim (96, 16), the MXU materializes a 3x-larger f32
-   intermediate plus a VPU parts-sum; with the (32, 48) layout the MXU's
-   f32 accumulator reconstructs the exact f32 entry for free (a one-hot
-   row has a single 1.0, so each product is an exact bf16-part selection).
+   parts on the output dim, the MXU materializes a 3x-larger f32
+   intermediate plus a VPU parts-sum; with parts-in-K the MXU's f32
+   accumulator reconstructs the exact f32 entry for free (a one-hot row
+   has a single 1.0, so each product is an exact bf16-part selection).
 4. **Sub-128-lane f32 table blocks DMA as per-sublane strided transfers**
-   (~60 ms of pure overhead across a 450-cell grid) — the (C, 32, 16)
-   table is padded to 128 lanes.
+   (~60 ms of pure overhead across a 450-cell grid) — table operands pad
+   to 128 lanes.  Also: a pre-split bf16 table block is *mangled* by
+   sublane packing on load — ship f32 tables, split to parts in-kernel.
 
 Merge semantics are identical to ops/hdr.py (reference:
 modules/exposure_series.py:317-397): gaussian weight (+ derivative),
-two-level radix-16 ICRF lookup (+ derivative), sum-of-weights
-normalization, weighted accumulation of value and variance, final sqrt —
-one HBM read of the stack, one HBM write of the result.
+two-level radix ICRF lookup (+ derivative), sum-of-weights normalization,
+weighted accumulation of value and variance, final sqrt — one HBM read of
+the stack, one HBM write of the result.
 """
 from __future__ import annotations
 
@@ -48,26 +51,40 @@ Array = jnp.ndarray
 
 __all__ = ["merge_nhwc_fused", "merge_planar_fused", "pack_tables"]
 
+# radix decomposition per table size: (HI, LO); LO > 16 uses a further
+# (LO/8, 8) split in stage-2 so the select stays cheap on the VPU.
+_RADIX = {256: (16, 16), 4096: (64, 64)}
+
 
 def pack_tables(icrf: Array, icrf_diff: Array) -> Array:
-    """Pack [icrf; icrf'] into the kernel's (C, 32, 128) f32 operand.
+    """Pack [icrf; icrf'] into the kernel's (C, 2*LO, max(HI,128)) f32
+    operand.
 
-    Per channel: rows 0..15 hold the icrf, rows 16..31 the derivative;
-    column ``hi`` holds the 16-entry row (entries ``hi*16 + lo``) at row
-    index ``lo``.  Columns 16..127 are lane padding (measured fact 4).
+    Per channel: rows 0..LO-1 hold the icrf, rows LO..2*LO-1 the
+    derivative; column ``hi`` holds the LO-entry row (entries
+    ``hi*LO + lo``) at row index ``lo``.  Lanes pad to 128 (fact 4).
     """
-    c = icrf.shape[1]
+    bits, c = icrf.shape
+    hi_size, lo_size = _RADIX[bits]
     f32 = jnp.float32
 
-    def rows(tab):  # (256, C) -> (C, 16, 16): [ch, lo, hi]
-        return tab.astype(f32).T.reshape(c, 16, 16).transpose(0, 2, 1)
+    def rows(tab):  # (bits, C) -> (C, LO, HI): [ch, lo, hi]
+        return tab.astype(f32).T.reshape(c, hi_size, lo_size) \
+            .transpose(0, 2, 1)
 
-    t = jnp.concatenate([rows(icrf), rows(icrf_diff)], axis=1)  # (C, 32, 16)
-    return jnp.pad(t, ((0, 0), (0, 0), (0, 112)))
+    t = jnp.concatenate([rows(icrf), rows(icrf_diff)], axis=1)
+    if hi_size < 128:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 128 - hi_size)))
+    return t  # (C, 2*LO, >=128)
 
 
-def _make_kernel(n: int, hb: int, w: int, use_std: bool, is_u8: bool,
-                 compat: str):
+def _make_kernel(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
+                 compat: str, bits: int):
+    hi_size, lo_size = _RADIX[bits]
+    max_dn = bits - 1
+    lo_bits = lo_size.bit_length() - 1
+    n_tab = 2 if use_std else 1
+
     def kernel(*refs):
         if use_std:
             val_ref, std_ref, t_ref, invt_ref, ov_ref, os_ref = refs
@@ -77,52 +94,88 @@ def _make_kernel(n: int, hb: int, w: int, use_std: bool, is_u8: bool,
         bf16 = jnp.bfloat16
         c = lambda v: jnp.float32(v)  # noqa: E731  (pin f32 under x64)
 
-        raw = val_ref[...].reshape(n * hb, w)
-        if is_u8:
+        raw = val_ref[...].reshape(n * hb, wb)
+        if is_int:
             idx = raw.astype(jnp.int32)
-            x = idx.astype(f32) * c(1.0 / 255.0)
+            x = idx.astype(f32) * c(1.0 / max_dn)
         else:
             x = raw.astype(f32)
-            idx = jnp.round(x * c(255.0)).astype(jnp.int32)
-            idx = jnp.minimum(jnp.maximum(idx, jnp.int32(0)), jnp.int32(255))
-        hi = idx >> 4
-        lo = idx & 15
+            idx = jnp.round(x * c(max_dn)).astype(jnp.int32)
+            idx = jnp.minimum(jnp.maximum(idx, jnp.int32(0)),
+                              jnp.int32(max_dn))
+        hi = idx >> lo_bits
+        lo = idx & (lo_size - 1)
 
         w_all = jnp.exp(c(-30.0) * (x - c(0.5)) ** 2)
-        inv_sw = c(1.0) / jnp.sum(w_all.reshape(n, hb, w), axis=0)  # (hb, w)
+        inv_sw = c(1.0) / jnp.sum(w_all.reshape(n, hb, wb), axis=0)
         inv_sw2 = inv_sw * inv_sw
         if use_std:
-            s_all = std_ref[...].reshape(n * hb, w).astype(f32)
+            s_all = std_ref[...].reshape(n * hb, wb).astype(f32)
 
-        # exact 3-part bf16 split, parts on the contraction dim (fact 3)
-        t = t_ref[...].reshape(32, 128)[:, :16]
+        # exact 3-part bf16 split, parts on the contraction dim (fact 3);
+        # value-only merges drop the derivative rows (half the MXU work).
+        t = t_ref[...].reshape(2 * lo_size, t_ref.shape[-1])[
+            :n_tab * lo_size, :hi_size]
         p0 = t.astype(bf16)
         r1 = t - p0.astype(f32)
         p1 = r1.astype(bf16)
         p2 = (r1 - p1.astype(f32)).astype(bf16)
-        t012 = jnp.concatenate([p0, p1, p2], axis=1)      # (32, 48)
-        tb = jnp.broadcast_to(t012[None], (hb, 32, 48))
+        t012 = jnp.concatenate([p0, p1, p2], axis=1)   # (n_tab*LO, 3*HI)
+        tb = jnp.broadcast_to(t012[None],
+                              (hb, n_tab * lo_size, 3 * hi_size))
 
-        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hb, 1, 16, w), 2)
-        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (hb, 16, w), 1)
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hb, 1, hi_size, wb),
+                                           2)
+        if lo_size <= 16:
+            iota_lo = jax.lax.broadcasted_iota(jnp.int32, (hb, lo_size, wb),
+                                               1)
+        else:
+            iota_8 = jax.lax.broadcasted_iota(jnp.int32, (hb, 8, wb), 1)
 
-        acc_v = jnp.zeros((hb, w), f32)
-        acc_s = jnp.zeros((hb, w), f32)
+        acc_v = jnp.zeros((hb, wb), f32)
+        acc_s = jnp.zeros((hb, wb), f32)
         for e in range(n):
             sl = slice(e * hb, (e + 1) * hb)
-            oh = (hi[sl].reshape(hb, 1, 1, w) == iota_hi).astype(bf16)
-            oh48 = jnp.broadcast_to(oh, (hb, 3, 16, w)).reshape(hb, 48, w)
+            oh = (hi[sl].reshape(hb, 1, 1, wb) == iota_hi).astype(bf16)
+            oh3 = jnp.broadcast_to(oh, (hb, 3, hi_size, wb)).reshape(
+                hb, 3 * hi_size, wb)
             a = jax.lax.dot_general(
-                tb, oh48,
+                tb, oh3,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)               # (hb, 32, w)
-            oh_lo = (lo[sl].reshape(hb, 1, w) == iota_lo).astype(f32)
-            g = jnp.sum(a[:, 0:16, :] * oh_lo, axis=1)    # icrf[idx]
+                preferred_element_type=f32)          # (hb, n_tab*LO, wb)
+
+            lo_e = lo[sl]
+            if lo_size <= 16:
+                oh_lo = (lo_e.reshape(hb, 1, wb) == iota_lo).astype(f32)
+                g = jnp.sum(a[:, 0:lo_size, :] * oh_lo, axis=1)
+                if use_std:
+                    fp = jnp.sum(a[:, lo_size:2 * lo_size, :] * oh_lo,
+                                 axis=1)
+            else:
+                # LO = A*8: select the 8-entry sub-row first, then the
+                # A-group — 8+A compares and LO+A FMAs per element
+                # instead of LO of each.
+                a_grp = lo_size // 8
+                oh_b = ((lo_e & 7).reshape(hb, 1, wb) == iota_8
+                        ).astype(f32)                # (hb, 8, wb)
+                ohb_t = jnp.broadcast_to(
+                    oh_b.reshape(hb, 1, 1, 8, wb),
+                    (hb, n_tab, a_grp, 8, wb)).reshape(
+                        hb, n_tab * lo_size, wb)
+                y = (a * ohb_t).reshape(hb, n_tab, a_grp, 8, wb).sum(
+                    axis=3)                          # (hb, n_tab, A, wb)
+                oh_a = ((lo_e >> 3).reshape(hb, 1, wb)
+                        == jax.lax.broadcasted_iota(
+                            jnp.int32, (hb, a_grp, wb), 1)).astype(f32)
+                gf = jnp.sum(y * oh_a.reshape(hb, 1, a_grp, wb), axis=2)
+                g = gf[:, 0, :]
+                if use_std:
+                    fp = gf[:, 1, :]
+
             w_e = w_all[sl]
             invt = invt_ref[e, 0]
             acc_v = acc_v + w_e * g * invt
             if use_std:
-                fp = jnp.sum(a[:, 16:32, :] * oh_lo, axis=1)  # icrf'[idx]
                 s_e = s_all[sl]
                 dw = c(-60.0) * (x[sl] - c(0.5)) * w_e
                 dg = fp * s_e
@@ -143,6 +196,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pick_blocks(bits: int, h: int, w: int, hb: int) -> Tuple[int, int]:
+    """Rows/lanes per grid cell.  12-bit tables make the (hb, 2*LO, wb)
+    intermediates 4x larger, so the lane dim blocks down to keep the
+    working set well under VMEM."""
+    hb = min(hb, h)
+    if bits <= 256 or w <= 768:
+        return (hb, w) if bits <= 256 else (min(hb, 8), w)
+    return min(hb, 8), 640  # lane blocks must be 128-multiples
+
+
 @partial(jax.jit, static_argnames=("compat", "hb"))
 def merge_planar_fused(val: Array, std: Optional[Array], exposures: Array,
                        icrf: Array, icrf_diff: Array,
@@ -150,31 +213,36 @@ def merge_planar_fused(val: Array, std: Optional[Array], exposures: Array,
                        ) -> Tuple[Array, Optional[Array]]:
     """Fused merge on logical ``(N, C, H, W)`` planar stacks.
 
-    ``val``: float [0,1] or uint8 DNs; ``std`` optional float;
-    ``icrf``/``icrf_diff``: (256, C); ``exposures``: (N,).  Returns
-    ``(C, H, W)`` value (+ std).  ``hb`` = rows per grid cell.
+    ``val``: float [0,1] or integer DNs; ``std`` optional float;
+    ``icrf``/``icrf_diff``: (256, C) or (4096, C); ``exposures``: (N,).
+    Returns ``(C, H, W)`` value (+ std).  ``hb`` = rows per grid cell.
     """
     n, ch, h, w = val.shape
-    if icrf.shape[0] != 256:
-        raise NotImplementedError("the fused kernel is specialized to "
-                                  "256-entry tables; use ops.hdr.merge_stack")
+    bits = icrf.shape[0]
+    if bits not in _RADIX:
+        raise NotImplementedError(
+            f"the fused kernel supports {sorted(_RADIX)}-entry tables; "
+            "use ops.hdr.merge_stack")
     f32 = jnp.float32
     use_std = std is not None
-    is_u8 = jnp.issubdtype(val.dtype, jnp.integer)
-    hb = min(hb, h)
+    is_int = jnp.issubdtype(val.dtype, jnp.integer)
+    hb, wb = _pick_blocks(bits, h, w, hb)
 
-    tables = pack_tables(icrf, icrf_diff)                # (C, 32, 128)
+    tables = pack_tables(icrf, icrf_diff)          # (C, 2*LO, >=128)
     inv_t = (1.0 / exposures.astype(f32)).reshape(n, 1)
+    t_rows, t_lanes = tables.shape[1], tables.shape[2]
 
-    grid = (ch, pl.cdiv(h, hb))
-    kernel = _make_kernel(n, hb, w, use_std, is_u8, compat)
-    stack_spec = pl.BlockSpec((n, 1, hb, w), lambda c_, i: (0, c_, i, 0),
+    grid = (ch, pl.cdiv(h, hb), pl.cdiv(w, wb))
+    kernel = _make_kernel(n, hb, wb, use_std, is_int, compat, bits)
+    stack_spec = pl.BlockSpec((n, 1, hb, wb),
+                              lambda c_, i, j: (0, c_, i, j),
                               memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((1, 32, 128), lambda c_, i: (c_, 0, 0),
+    table_spec = pl.BlockSpec((1, t_rows, t_lanes),
+                              lambda c_, i, j: (c_, 0, 0),
                               memory_space=pltpu.VMEM)
-    invt_spec = pl.BlockSpec((n, 1), lambda c_, i: (0, 0),
+    invt_spec = pl.BlockSpec((n, 1), lambda c_, i, j: (0, 0),
                              memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((1, hb, w), lambda c_, i: (c_, i, 0),
+    out_spec = pl.BlockSpec((1, hb, wb), lambda c_, i, j: (c_, i, j),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((ch, h, w), f32)
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)

@@ -33,9 +33,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1995)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic generator.
+
+    Seeded from the test's node id (stable across runs and machines), so
+    each test's data is independent of execution order — a session-scoped
+    shared stream made test data depend on which tests ran before, which
+    surfaced as order-dependent flakes near f32 LUT-bin boundaries.
+    """
+    import zlib
+    seed = zlib.crc32(request.node.nodeid.encode()) ^ 1995
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture(scope="session")

@@ -143,3 +143,66 @@ def test_measurand_shims(rng):
     assert isinstance(val_np, np.ndarray) and isinstance(std_np, np.ndarray)
     m2 = Measurand(jnp.ones((2, 2, 1)))
     assert m2.to_numpy()[1] is None
+
+
+def test_merge_corrected_fused_matches_sequential(corrected_setup, rng):
+    """merge_corrected (ONE jit: bad-pixel -> merge -> flat) equals the
+    sequential ops chain (BASELINE config 3)."""
+    from camera_linearity_tpu.ops import filters, hdr
+    cfg, sets, darks, flat, icrf, stack = corrected_setup
+    n = len(sets)
+    stack_val = jnp.stack([s.measurand.val for s in sets])
+    stack_std = jnp.stack([s.measurand.std for s in sets])
+    dark_stack = jnp.stack([d.measurand.val for d in darks])
+    exposures = jnp.asarray([0.4, 0.8, 1.6])
+    icrf_j = jnp.asarray(icrf)
+    icrf_d = jnp.asarray(np.gradient(icrf, 2 / 255, axis=0))
+
+    fused_v, fused_s = hdr.merge_corrected(
+        stack_val, stack_std, dark_stack, exposures, icrf_j, icrf_d,
+        jnp.asarray(cfg.dark_threshold), flat.measurand.val,
+        flat.measurand.std,
+        mid_percentage=cfg.flat_field_mid_percentage,
+        kernel_size=cfg.median_filter_kernel_size)
+
+    vs, ss = [], []
+    for i in range(n):
+        v, s = filters.bad_pixel_filter(stack_val[i], stack_std[i],
+                                        dark_stack[i], cfg.dark_threshold,
+                                        cfg.median_filter_kernel_size)
+        vs.append(v)
+        ss.append(s)
+    mv, ms = hdr.merge_stack(jnp.stack(vs), jnp.stack(ss), exposures,
+                             icrf_j, icrf_d)
+    ev, es = filters.flat_field_correction(
+        mv, ms, flat.measurand.val, flat.measurand.std,
+        cfg.flat_field_mid_percentage)
+    np.testing.assert_allclose(np.asarray(fused_v), np.asarray(ev),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused_s), np.asarray(es),
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_merge_corrected_12bit(rng):
+    """The fused corrections path on a 12-bit stack (4096-entry tables)."""
+    from camera_linearity_tpu.ops import hdr
+    n, h, w, c = 3, 24, 40, 3
+    bits = 4096
+    dn = rng.integers(0, bits, (n, h, w, c))
+    val = jnp.asarray((dn / (bits - 1)).astype(np.float32))
+    std = jnp.asarray(rng.uniform(0.001, 0.01,
+                                  (n, h, w, c)).astype(np.float32))
+    dark = jnp.zeros_like(val)
+    exposures = jnp.asarray([0.4, 0.8, 1.6], jnp.float32)
+    icrf = np.sort(rng.uniform(0, 1, (bits, c)), axis=0)
+    icrf[0], icrf[-1] = 0.0, 1.0
+    icrf_j = jnp.asarray(icrf, jnp.float32)
+    icrf_d = jnp.asarray(np.gradient(icrf, 2 / (bits - 1), axis=0),
+                         jnp.float32)
+    fv, fs = hdr.merge_corrected(val, std, dark, exposures, icrf_j,
+                                 icrf_d, jnp.asarray(0.05))
+    mv, ms = hdr.merge_stack(val, std, exposures, icrf_j, icrf_d)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(mv),
+                               rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(ms),
+                               rtol=5e-4, atol=1e-6)
