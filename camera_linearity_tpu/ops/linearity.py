@@ -26,7 +26,11 @@ Array = jnp.ndarray
 __all__ = ["upper_triangle_pairs", "valid_exposure_pairs",
            "pairwise_linearity", "linearity_energy",
            "linearity_energy_chunked", "pin_endpoints",
-           "monotonicity_penalty_mask", "constraint_violation"]
+           "monotonicity_penalty_mask", "constraint_violation",
+           "population_linearity_energies",
+           "population_linearity_energies_chunked",
+           "pair_dn_histograms", "population_linearity_energies_hist",
+           "linearity_energy_hist_smooth", "build_data_onehot"]
 
 
 def upper_triangle_pairs(n: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -233,6 +237,211 @@ def build_data_onehot(stack_dn: Array, bits: int,
     flat = stack_dn.reshape(-1).astype(jnp.int32)
     iota = jnp.arange(bits, dtype=jnp.int32)
     return (flat[:, None] == iota).astype(dtype)
+
+
+def population_linearity_energies_chunked(curves: Array, stack_dn: Array,
+                                          stack_std: Optional[Array],
+                                          exposures: Array,
+                                          lower_dn: int, upper_dn: int,
+                                          ii: Array, jj: Array,
+                                          use_relative: bool = True,
+                                          penalty: str = "soft",
+                                          chunk: int = 16384) -> Array:
+    """Population-matmul energies at ANY pixel count.
+
+    :func:`population_linearity_energies` precomputes a (P*N, bits)
+    one-hot of the data — above ~1 GB that is not materializable.  Here a
+    ``lax.scan`` walks pixel chunks, builds the chunk's one-hot on the fly
+    and runs the same wide (chunk*N, bits) @ (bits, S) MXU matmul,
+    accumulating per-(K, S) weighted sums — peak memory is
+    O(chunk * (bits + K*S)) regardless of P, and the per-generation cost
+    keeps the matmul formulation (~10x over the vmapped per-candidate
+    energy) at full resolution.  Same semantics/results as the
+    unchunked version to float tolerance.
+    """
+    s = curves.shape[0]
+    n = exposures.shape[0]
+    bits = curves.shape[1]
+    k = ii.shape[0]
+    pinned = jax.vmap(pin_endpoints)(curves)                  # (S, dp)
+    invalid = jax.vmap(monotonicity_penalty_mask)(pinned)
+    lo_t = pinned[:, lower_dn]
+    hi_t = pinned[:, upper_dn]
+    curves_t = pinned.T                                       # (dp, S)
+    r = (exposures[ii] / exposures[jj]).astype(curves.dtype)[None, :, None]
+
+    p = stack_dn.shape[0]
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    dn = jnp.pad(stack_dn, ((0, pad), (0, 0))).reshape(n_chunks, chunk, n)
+    if stack_std is not None:
+        sstd = jnp.pad(stack_std, ((0, pad), (0, 0))).reshape(
+            n_chunks, chunk, n)
+    live = (jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk) < p)
+    iota = jnp.arange(bits, dtype=jnp.int32)
+
+    def body(carry, inputs):
+        num, den = carry
+        if stack_std is None:
+            dn_c, live_c = inputs
+            std_c = None
+        else:
+            dn_c, std_c, live_c = inputs
+        onehot = (dn_c.reshape(-1, 1) == iota).astype(curves.dtype)
+        g = jnp.dot(onehot, curves_t,
+                    precision=jax.lax.Precision.HIGHEST)      # (chunk*N, S)
+        g = g.reshape(chunk, n, s)
+        g = jnp.where((g < lo_t) | (g > hi_t), jnp.nan, g)
+        g_i, g_j = g[:, ii, :], g[:, jj, :]
+        scaled = g_j * r
+        diff = g_i - scaled
+        if use_relative:
+            diff = diff / scaled
+        abs_diff = jnp.abs(diff)
+        if std_c is not None:
+            s_i = std_c[:, ii, None]
+            s_j = std_c[:, jj, None]
+            if use_relative:
+                pair_std = jnp.sqrt((s_i / scaled) ** 2
+                                    + ((g_i * s_j) / (r * g_j ** 2)) ** 2)
+            else:
+                pair_std = jnp.sqrt(s_i ** 2 + (r * s_j) ** 2)
+            finite = jnp.isfinite(abs_diff) & (pair_std != 0) \
+                & live_c[:, None, None]
+            wgt = jnp.where(finite, 1.0 / pair_std, 0.0)
+        else:
+            finite = jnp.isfinite(abs_diff) & live_c[:, None, None]
+            wgt = finite.astype(abs_diff.dtype)
+        num = num + jnp.sum(jnp.where(finite, abs_diff * wgt, 0.0), axis=0)
+        den = den + jnp.sum(wgt, axis=0)
+        return (num, den), None
+
+    zero = jnp.zeros((k, s), curves.dtype)
+    inputs = (dn, sstd, live) if stack_std is not None else (dn, live)
+    (num, den), _ = jax.lax.scan(body, (zero, zero), inputs)
+    per_pair = jnp.where(den == 0, jnp.nan, num / den)        # (K, S)
+    energies = jnp.nanmean(per_pair, axis=0)
+    energies = jnp.where(jnp.isnan(energies), jnp.inf, energies)
+    if penalty == "soft":
+        soft = 1e3 * (1.0 + jax.vmap(constraint_violation)(pinned))
+        return jnp.where(invalid, soft, energies)
+    return jnp.where(invalid, jnp.inf, energies)
+
+
+def pair_dn_histograms(stack_dn: Array, ii: Array, jj: Array,
+                       bits: int) -> Array:
+    """Joint (dn_i, dn_j) occupancy per exposure pair: (K, bits, bits).
+
+    The unweighted linearity energy depends on the data only through how
+    many pixels show each (dn_i, dn_j) combination per pair — so the whole
+    pixel axis condenses into K joint histograms ONCE, and every energy
+    evaluation afterwards is O(K * bits^2) independent of resolution.
+    Built with segment_sum (sort-based; scatter-add serializes on TPU).
+    """
+    dn = stack_dn.astype(jnp.int32)
+
+    def one_pair(i, j):
+        combined = dn[:, i] * bits + dn[:, j]
+        return jax.ops.segment_sum(jnp.ones_like(combined, jnp.int32),
+                                   combined, num_segments=bits * bits
+                                   ).reshape(bits, bits)
+
+    return jax.vmap(one_pair)(jnp.asarray(ii), jnp.asarray(jj))
+
+
+def population_linearity_energies_hist(curves: Array, hists: Array,
+                                       exposures: Array,
+                                       lower_dn: int, upper_dn: int,
+                                       ii: Array, jj: Array,
+                                       use_relative: bool = True,
+                                       penalty: str = "soft") -> Array:
+    """Resolution-independent population energies from joint histograms.
+
+    For the unweighted objective (the reference's default: no std images,
+    ICRF_calibration_exposure.py:139) the per-pair mean over pixels of
+    |g[dn_i] - r g[dn_j]| / (r g[dn_j]) is exactly
+
+        sum_ab H_k(a,b) valid(a,b) d_k(a,b) / sum_ab H_k(a,b) valid(a,b)
+
+    with ``H_k`` from :func:`pair_dn_histograms`.  Per generation this
+    costs O(S * K * bits^2) — a few hundred microseconds for the full
+    DE population at ANY image resolution, where the pixel-streamed
+    formulations scale with P.  Exact same masking/NaN semantics as
+    :func:`linearity_energy`.
+    """
+    k = ii.shape[0]
+    pinned = jax.vmap(pin_endpoints)(curves)                  # (S, dp)
+    invalid = jax.vmap(monotonicity_penalty_mask)(pinned)
+    lo_t = pinned[:, lower_dn][:, None]                       # (S, 1)
+    hi_t = pinned[:, upper_dn][:, None]
+    valid_dn = (pinned >= lo_t) & (pinned <= hi_t)            # (S, bits)
+    g_mask = jnp.where(valid_dn, pinned, jnp.nan)
+    r_all = (exposures[ii] / exposures[jj]).astype(curves.dtype)
+
+    hists_f = hists.astype(curves.dtype)                      # (K, b, b)
+
+    def per_pair(h_k, r_k):
+        gi = g_mask[:, :, None]                               # (S, b, 1)
+        gj = g_mask[:, None, :] * r_k                         # (S, 1, b)
+        diff = gi - gj
+        if use_relative:
+            diff = diff / gj
+        d = jnp.abs(diff)                                     # (S, b, b)
+        ok = jnp.isfinite(d)
+        w = ok.astype(d.dtype) * h_k[None]
+        num = jnp.sum(jnp.where(ok, d, 0.0) * h_k[None], axis=(1, 2))
+        den = jnp.sum(w, axis=(1, 2))
+        return jnp.where(den == 0, jnp.nan, num / den)        # (S,)
+
+    per = jax.lax.map(lambda args: per_pair(*args), (hists_f, r_all))
+    energies = jnp.nanmean(per, axis=0)                       # (S,)
+    energies = jnp.where(jnp.isnan(energies), jnp.inf, energies)
+    if penalty == "soft":
+        soft = 1e3 * (1.0 + jax.vmap(constraint_violation)(pinned))
+        return jnp.where(invalid, soft, energies)
+    return jnp.where(invalid, jnp.inf, energies)
+
+
+def linearity_energy_hist_smooth(icrf_curve: Array, hists: Array,
+                                 exposures: Array,
+                                 lower_dn: int, upper_dn: int,
+                                 ii: Array, jj: Array,
+                                 use_relative: bool = True,
+                                 penalty_weight: float = 1e3) -> Array:
+    """Gradient-safe scalar energy from joint DN histograms.
+
+    Same value as :func:`linearity_energy` on feasible curves (masked
+    entries are excluded via explicit 0/1 weights instead of NaN
+    propagation, so ``jax.grad`` is finite — the where-NaN trap), plus an
+    ADDITIVE graded constraint penalty (instead of the DE objective's
+    where-switch) so infeasible iterates keep a descent direction.  Used
+    by the post-DE gradient polish (models/calibration.py); acceptance is
+    always re-checked against the exact DE objective.
+    """
+    icrf = pin_endpoints(icrf_curve)
+    lo = icrf[lower_dn]
+    hi = icrf[upper_dn]
+    valid = (icrf >= lo) & (icrf <= hi)                       # (bits,)
+    gsafe = jnp.where(valid, icrf, 1.0)
+    r_all = (exposures[ii] / exposures[jj]).astype(icrf.dtype)
+    hists_f = hists.astype(icrf.dtype)
+
+    def per_pair(h_k, r_k):
+        ok = (valid[:, None] & valid[None, :]).astype(icrf.dtype)
+        gj = gsafe[None, :] * r_k
+        diff = gsafe[:, None] - gj
+        if use_relative:
+            diff = diff / gj
+        d = jnp.abs(diff)
+        w = ok * h_k
+        num = jnp.sum(d * w)
+        den = jnp.sum(w)
+        return num / jnp.maximum(den, 1.0), (den > 0).astype(icrf.dtype)
+
+    per, alive = jax.lax.map(lambda args: per_pair(*args),
+                             (hists_f, r_all))
+    base = jnp.sum(per * alive) / jnp.maximum(jnp.sum(alive), 1.0)
+    return base + penalty_weight * constraint_violation(icrf)
 
 
 def linearity_energy_chunked(icrf_curve: Array, stack_dn: Array,

