@@ -100,11 +100,9 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
         out_val, out_std = sharded.merge_batch_sharded(
             bv, bs, exposures, icrf_j, icrf_diff_j, mesh)
     else:
-        import jax
-        out_val, out_std = jax.vmap(
-            lambda v, s: hdr_ops.merge_stack(v, s, exposures, icrf_j,
-                                             icrf_diff_j))(batch_val,
-                                                           batch_std)
+        out_val, out_std = hdr_ops.merge_batch(batch_val, batch_std,
+                                               exposures, icrf_j,
+                                               icrf_diff_j)
 
     results = {}
     for i, name in enumerate(names):

@@ -37,7 +37,39 @@ from .uncertainty import gaussian_weight
 Array = jnp.ndarray
 
 __all__ = ["sum_of_weights", "merge_stack", "merge_stack_u8", "merge_hdr",
-           "merge_corrected"]
+           "merge_corrected", "merge_batch"]
+
+
+def merge_batch(batch_val: "Array", batch_std, exposures, icrf, icrf_diff,
+                compat: str = "corrected", use_pallas=None):
+    """Merge a (B, N, H, W, C) batch of scenes in one device call.
+
+    On TPU the batch vmaps over the fused kernel — Pallas turns the vmap
+    into an extra grid dimension, so the whole batch is still ONE kernel
+    launch with no data movement (measured 697 MP/s aggregate for 4
+    scenes of BASELINE config 2 vs 430 via row-folding + transpose).
+    Elsewhere it vmaps the jnp path.
+    """
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and icrf.shape[0] in (256, 4096))
+    if use_pallas:
+        from .hdr_pallas2 import merge_nhwc_fused
+        if batch_std is None:
+            v = jax.vmap(lambda bv: merge_nhwc_fused(
+                bv, None, exposures, icrf, icrf_diff, compat=compat)[0]
+            )(batch_val)
+            return v, None
+        return jax.vmap(lambda bv, bs: merge_nhwc_fused(
+            bv, bs, exposures, icrf, icrf_diff, compat=compat)
+        )(batch_val, batch_std)
+    if batch_std is None:
+        return jax.vmap(lambda v: merge_stack(
+            v, None, exposures, icrf, icrf_diff, compat=compat)[0]
+        )(batch_val), None
+    return jax.vmap(lambda v, s: merge_stack(
+        v, s, exposures, icrf, icrf_diff, compat=compat)
+    )(batch_val, batch_std)
 
 
 def sum_of_weights(stack_val: Array) -> Tuple[Array, Array]:

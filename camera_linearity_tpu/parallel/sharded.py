@@ -40,29 +40,27 @@ def merge_batch_sharded(batch_val: Array, batch_std: Optional[Array],
 
     Scenes shard over ``data``, rows over ``pixel`` (BASELINE config 5's
     batch-of-scenes axis).  The merge itself is pointwise over pixels, so
-    the partitioned program has zero communication.
+    the partitioned program has zero communication.  Each chip's local
+    (B_loc, N, H_loc, W, C) block merges through the fast fused kernel
+    (ops/hdr.merge_batch folds scenes into image rows — exact, since the
+    merge is row-independent); a GSPMD jit cannot partition the Pallas
+    custom-call, so this is a ``shard_map``.
     """
     in_spec = P("data", None, "pixel", None, None)
     out_spec = P("data", "pixel", None, None)
 
-    @partial(jax.jit,
-             in_shardings=(NamedSharding(mesh, in_spec),
-                           None if batch_std is None
-                           else NamedSharding(mesh, in_spec),
-                           NamedSharding(mesh, P()),
-                           NamedSharding(mesh, P()),
-                           NamedSharding(mesh, P())),
-             out_shardings=(NamedSharding(mesh, out_spec),
-                            None if batch_std is None
-                            else NamedSharding(mesh, out_spec)),
-             static_argnames=("compat",))
-    def run(bv, bs, ex, a, b, compat=compat):
-        def one(v, s):
-            return hdr_ops.merge_stack(v, s, ex, a, b, compat=compat)
-        if bs is None:
-            return jax.vmap(lambda v: one(v, None)[0])(bv), None
-        out = jax.vmap(one)(bv, bs)
-        return out
+    if batch_std is None:
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(in_spec, P(), P(), P()), out_specs=out_spec)
+        def run_v(bv, ex, a, b):
+            return hdr_ops.merge_batch(bv, None, ex, a, b, compat=compat)[0]
+        return run_v(batch_val, exposures, icrf, icrf_diff), None
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(in_spec, in_spec, P(), P(), P()),
+             out_specs=(out_spec, out_spec))
+    def run(bv, bs, ex, a, b):
+        return hdr_ops.merge_batch(bv, bs, ex, a, b, compat=compat)
 
     return run(batch_val, batch_std, exposures, icrf, icrf_diff)
 

@@ -117,3 +117,31 @@ def test_population_sharded_calibration(rng):
         mesh=mesh, pop_axis="data")
     assert e1[0] <= e0[0]
     assert np.all(np.isfinite(icrf))
+
+
+def test_merge_batch_matches_per_scene(rng):
+    """ops.hdr.merge_batch (the batched fast path) == per-scene merges."""
+    import jax.numpy as jnp
+    from camera_linearity_tpu.ops import hdr
+    b, n, h, w, c = 3, 4, 16, 24, 3
+    val = jnp.asarray(rng.uniform(0.05, 0.95, (b, n, h, w, c)),
+                      jnp.float32)
+    std = jnp.asarray(rng.uniform(0.001, 0.02, (b, n, h, w, c)),
+                      jnp.float32)
+    ex = jnp.asarray([0.001, 0.002, 0.004, 0.008], jnp.float32)
+    icrf = np.sort(rng.uniform(0, 1, (256, c)), axis=0).astype(np.float32)
+    icrf[0], icrf[-1] = 0.0, 1.0
+    icrf_d = np.gradient(icrf.astype(np.float64), 2 / 255,
+                         axis=0).astype(np.float32)
+    icrf_j, icrf_dj = jnp.asarray(icrf), jnp.asarray(icrf_d)
+    bv, bs = hdr.merge_batch(val, std, ex, icrf_j, icrf_dj)
+    for i in range(b):
+        rv, rs = hdr.merge_stack(val[i], std[i], ex, icrf_j, icrf_dj)
+        np.testing.assert_allclose(np.asarray(bv[i]), np.asarray(rv),
+                                   rtol=5e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bs[i]), np.asarray(rs),
+                                   rtol=5e-4, atol=1e-6)
+    v_only, s_only = hdr.merge_batch(val, None, ex, icrf_j, icrf_dj)
+    assert s_only is None
+    np.testing.assert_allclose(np.asarray(v_only), np.asarray(bv),
+                               rtol=5e-5, atol=1e-6)
