@@ -10,6 +10,8 @@ arrays.
 """
 from __future__ import annotations
 
+import queue
+import threading
 from functools import partial
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Union
@@ -19,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CameraConfig, DEFAULT_CONFIG
+from .. import native
 from ..ops import welford as wf
 from ..ops.linearize import linearize
 from ..utils import io
@@ -73,6 +76,36 @@ def _frame_batches(file_paths: List[Path], batch_size: int
         yield np.stack(batch)
 
 
+_PREFETCH_DONE = object()
+
+
+def _prefetch(iterator: Iterator[np.ndarray], depth: int = 2
+              ) -> Iterator[np.ndarray]:
+    """Run ``iterator`` on a background thread, handing items over through a
+    bounded queue — double-buffers host video decode against downstream
+    transfer/compute.  OpenCV's decoder releases the GIL, so on multi-core
+    hosts the next batch decodes while the device consumes the current one;
+    exceptions raised by the producer re-raise at the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_PREFETCH_DONE)
+        except BaseException as exc:  # noqa: BLE001 — re-raised downstream
+            q.put(exc)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _PREFETCH_DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 @partial(jax.jit, static_argnames=("max_dn",))
 def _prepare_frames(frames_u8, icrf_dev, max_dn: int):
     """uint8 frames -> float (optionally ICRF-linearized) on device."""
@@ -91,7 +124,8 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
                       use_std: bool = False,
                       config: CameraConfig = DEFAULT_CONFIG,
                       batch_size: int = 32,
-                      quantize: bool = False) -> Dict[str, np.ndarray]:
+                      quantize: bool = False,
+                      backend: str = "auto") -> Dict[str, np.ndarray]:
     """Mean (and std-of-mean) frame over all frames of the given videos
     (video_processing.py:161-219).
 
@@ -100,9 +134,24 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
     video_processing.py:200).  The default returns float arrays;
     ``quantize=True`` opts into the reference's uint8 outputs, including
     its bug of rounding the [0,1]-scale std straight to uint8.
+
+    ``backend`` selects where the statistics accumulate:
+
+    * ``"device"`` — jitted ``lax.scan`` Welford over staged frame batches.
+    * ``"host"`` — exact integer moment accumulation (``native.HostMoments``)
+      directly on the raw uint8 frames; no device transfer.  Only valid
+      without an ICRF (linearized frames are no longer integer DN).
+    * ``"auto"`` — ``"host"`` when no ICRF is given (the raw-DN stream never
+      has to cross the host↔device link, which is slower than single-core
+      decode on tunneled-TPU setups), otherwise ``"device"``.
+
+    Decode always runs on a prefetch thread, double-buffered against the
+    consuming stage.
     """
     if not isinstance(file_paths, list):
         file_paths = [file_paths]
+    if backend not in ("auto", "device", "host"):
+        raise ValueError(f"unknown backend {backend!r}")
 
     video = cv.VideoCapture(str(file_paths[0]))
     if not video.isOpened():
@@ -114,19 +163,33 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
 
     max_dn = config.max_dn
     icrf_dev = None if ICRF is None else jnp.asarray(ICRF)
+    if backend == "host" and icrf_dev is not None:
+        raise ValueError("backend='host' accumulates raw integer DN and "
+                         "cannot apply an ICRF; use backend='device'")
+    if backend == "auto":
+        backend = "host" if icrf_dev is None else "device"
 
-    state = wf.welford_init((height, width, config.num_of_chs))
-    for batch in _frame_batches(file_paths, batch_size):
-        frames = _prepare_frames(jnp.asarray(batch), icrf_dev, max_dn)
-        if batch.shape[0] == batch_size:
-            state = wf.welford_update_batch(state, frames)
-        else:  # remainder: single-frame path, avoids a new scan compile
-            for k in range(batch.shape[0]):
-                state = _single_update(state, frames[k])
+    batches = _prefetch(_frame_batches(file_paths, batch_size))
+    if backend == "host":
+        acc = native.HostMoments((height, width, config.num_of_chs),
+                                 1.0 / max_dn)
+        for batch in batches:
+            acc.update(batch)
+        mean_np, std_full = acc.finalize()
+        std_np = std_full if use_std else None
+    else:
+        state = wf.welford_init((height, width, config.num_of_chs))
+        for batch in batches:
+            frames = _prepare_frames(jnp.asarray(batch), icrf_dev, max_dn)
+            if batch.shape[0] == batch_size:
+                state = wf.welford_update_batch(state, frames)
+            else:  # remainder: single-frame path, avoids a new scan compile
+                for k in range(batch.shape[0]):
+                    state = _single_update(state, frames[k])
 
-    mean, std = wf.welford_finalize(state, use_std=True)
-    mean_np = np.asarray(mean)
-    std_np = np.asarray(std) if use_std else None
+        mean, std = wf.welford_finalize(state, use_std=True)
+        mean_np = np.asarray(mean)
+        std_np = np.asarray(std) if use_std else None
 
     if quantize:
         mean_np = np.around(mean_np * max_dn).astype(np.uint8)
@@ -177,7 +240,7 @@ def compute_noise_profiles(video_files: List[Path],
 
     profiles = jnp.zeros((bits, bits, chs), jnp.int32)
     for video_file in video_files:
-        for batch in _frame_batches([video_file], batch_size):
+        for batch in _prefetch(_frame_batches([video_file], batch_size)):
             if batch.shape[0] == batch_size:
                 profiles = _profile_accumulate(profiles, jnp.asarray(batch),
                                                mean_dev, bits)

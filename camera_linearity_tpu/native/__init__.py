@@ -16,7 +16,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["available", "u8_to_f32", "u8_hwc_to_cfirst_f32",
-           "welford_update_batch_u8", "HostWelford"]
+           "welford_update_batch_u8", "HostWelford",
+           "accum_moments_u8", "HostMoments"]
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "stager.cpp"
@@ -65,6 +66,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.clt_welford_update_batch_u8.argtypes = [
         u8p, f64p, f64p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_double,
         ctypes.c_int64, ctypes.c_int]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.clt_accum_moments_u8.argtypes = [
+        u8p, ctypes.c_size_t, ctypes.c_size_t, u64p, u64p, ctypes.c_int]
     lib.clt_version.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -135,6 +139,68 @@ def welford_update_batch_u8(frames: np.ndarray, mean: np.ndarray,
         m2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         batch, n, scale, start_count, _NTHREADS)
     return start_count + batch
+
+
+def accum_moments_u8(frames: np.ndarray, sum_: np.ndarray,
+                     sumsq: np.ndarray) -> None:
+    """In-place exact integer accumulation of per-element sum and sum of
+    squares over a (B, ...) uint8 frame batch (tiled native kernel; NumPy
+    reduction fallback)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    batch = frames.shape[0]
+    n = frames.size // batch
+    lib = _load()
+    if lib is None:
+        flat = frames.reshape(batch, -1)
+        sum_.reshape(-1)[:] += flat.sum(axis=0, dtype=np.uint64)
+        sumsq.reshape(-1)[:] += (flat.astype(np.uint32) ** 2).sum(
+            axis=0, dtype=np.uint64)
+        return
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.clt_accum_moments_u8(_as_u8_ptr(frames), batch, n,
+                             sum_.ctypes.data_as(u64p),
+                             sumsq.ctypes.data_as(u64p), _NTHREADS)
+
+
+class HostMoments:
+    """Exact streaming first/second moments of a raw uint8 frame stream.
+
+    Replaces the running float Welford update for DN data: sums and sums of
+    squares accumulate as exact integers (zero rounding error at any frame
+    count), and finalization recovers the same statistics as the reference's
+    frame-by-frame loop (modules/video_processing.py:206-215):
+
+        mean = (sum / n) * scale
+        M2   = (sumsq - sum^2 / n) * scale^2      == Welford M2, exactly
+        std_of_mean = sqrt(M2 / (n-1)) / sqrt(n)
+
+    Memory traffic per frame is ~1 byte per element (u32 tile partials stay
+    in cache), several times faster than the f64 Welford path — the margin
+    that lets a single-core host keep statistics ahead of video decode.
+    """
+
+    def __init__(self, shape, scale: float):
+        self.sum = np.zeros(shape, np.uint64)
+        self.sumsq = np.zeros(shape, np.uint64)
+        self.count = 0
+        self.scale = float(scale)
+
+    def update(self, frames: np.ndarray) -> None:
+        if frames.ndim == self.sum.ndim:
+            frames = frames[None]
+        accum_moments_u8(frames, self.sum, self.sumsq)
+        self.count += frames.shape[0]
+
+    def finalize(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        n = float(self.count)
+        s = self.sum.astype(np.float64)
+        mean = s / n * self.scale
+        if self.count < 2:
+            return mean, None
+        m2 = (self.sumsq.astype(np.float64) - s * s / n) * self.scale ** 2
+        np.maximum(m2, 0.0, out=m2)
+        std = np.sqrt(m2 / (n - 1.0)) / np.sqrt(n)
+        return mean, std
 
 
 class HostWelford:

@@ -105,6 +105,52 @@ void clt_welford_update_batch_u8(const std::uint8_t* frames, double* mean,
     });
 }
 
-int clt_version() { return 1; }
+// Exact integer moment accumulation over a (B, n) uint8 frame batch:
+//   sum[i]   += sum_b frames[b][i]
+//   sumsq[i] += sum_b frames[b][i]^2
+//
+// For raw-DN streams this replaces the running f64 Welford update entirely:
+// the accumulated sums are EXACT integers, and the caller recovers
+//   mean = sum/n,  M2 = sumsq - sum^2/n
+// which equals Welford's M2 with zero accumulation error (reference loop:
+// modules/video_processing.py:206-208 carries f64 rounding per frame).
+// The win is bandwidth: the running update touches ~33 bytes of f64 state
+// per element per frame; here a pixel tile's u32 partials stay in L1 across
+// the whole sub-batch, so steady-state traffic is ~1 byte per element per
+// frame plus amortized u64 spills.
+//
+// Sub-batches are capped at 64 frames so the u32 sumsq partial cannot
+// overflow (64 * 255^2 < 2^32); the u64 totals are exact to 2^46 frames.
+void clt_accum_moments_u8(const std::uint8_t* frames, std::size_t batch,
+                          std::size_t n, std::uint64_t* sum,
+                          std::uint64_t* sumsq, int nthreads) {
+    constexpr std::size_t TILE = 4096;
+    constexpr std::size_t SUB = 64;
+    parallel_for(n, nthreads, [&](std::size_t lo, std::size_t hi) {
+        std::uint32_t ps[TILE];
+        std::uint32_t pq[TILE];
+        for (std::size_t t0 = lo; t0 < hi; t0 += TILE) {
+            const std::size_t tn = std::min(TILE, hi - t0);
+            for (std::size_t b0 = 0; b0 < batch; b0 += SUB) {
+                const std::size_t bn = std::min(SUB, batch - b0);
+                for (std::size_t i = 0; i < tn; ++i) { ps[i] = 0; pq[i] = 0; }
+                for (std::size_t b = b0; b < b0 + bn; ++b) {
+                    const std::uint8_t* in = frames + b * n + t0;
+                    for (std::size_t i = 0; i < tn; ++i) {
+                        const std::uint32_t x = in[i];
+                        ps[i] += x;
+                        pq[i] += x * x;
+                    }
+                }
+                for (std::size_t i = 0; i < tn; ++i) {
+                    sum[t0 + i] += ps[i];
+                    sumsq[t0 + i] += pq[i];
+                }
+            }
+        }
+    });
+}
+
+int clt_version() { return 2; }
 
 }  // extern "C"

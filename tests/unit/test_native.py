@@ -70,3 +70,48 @@ def test_numpy_fallback_paths(rng, monkeypatch):
     count = native.welford_update_batch_u8(arr[None], mean, m2, 1.0, 0)
     assert count == 1
     np.testing.assert_allclose(mean, arr.astype(float))
+
+
+def test_host_moments_exact_vs_oracle(rng):
+    """Integer-moment accumulation equals the f64 Welford oracle to machine
+    epsilon (it is exact integer math until finalization)."""
+    frames = rng.integers(0, 256, (150, 9, 14, 3), dtype=np.uint8)
+    acc = native.HostMoments((9, 14, 3), scale=1.0 / 255)
+    acc.update(frames[:70])   # exercises the 64-frame sub-batch split
+    acc.update(frames[70:])
+    mean, std = acc.finalize()
+
+    x = frames.astype(np.float64) / 255
+    omean = x.mean(axis=0)
+    ostd = x.std(axis=0, ddof=1) / np.sqrt(len(frames))
+    np.testing.assert_allclose(mean, omean, rtol=1e-14, atol=1e-16)
+    np.testing.assert_allclose(std, ostd, rtol=1e-12, atol=1e-16)
+    assert acc.count == 150
+
+
+def test_host_moments_single_frame(rng):
+    acc = native.HostMoments((4, 5, 3), scale=1.0)
+    acc.update(rng.integers(0, 256, (4, 5, 3), dtype=np.uint8))
+    mean, std = acc.finalize()
+    assert std is None
+    assert mean.shape == (4, 5, 3)
+
+
+def test_accum_moments_numpy_fallback(rng, monkeypatch):
+    frames = rng.integers(0, 256, (67, 6, 7, 3), dtype=np.uint8)
+    s_native = np.zeros((6, 7, 3), np.uint64)
+    q_native = np.zeros((6, 7, 3), np.uint64)
+    native.accum_moments_u8(frames, s_native, q_native)
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    s_np = np.zeros((6, 7, 3), np.uint64)
+    q_np = np.zeros((6, 7, 3), np.uint64)
+    native.accum_moments_u8(frames, s_np, q_np)
+
+    # integer accumulation: both paths are bit-identical
+    np.testing.assert_array_equal(s_native, s_np)
+    np.testing.assert_array_equal(q_native, q_np)
+    flat = frames.reshape(67, -1).astype(np.uint64)
+    np.testing.assert_array_equal(s_np.reshape(-1), flat.sum(0))
+    np.testing.assert_array_equal(q_np.reshape(-1), (flat * flat).sum(0))

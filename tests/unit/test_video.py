@@ -187,3 +187,45 @@ def test_welford_default_returns_float(avi):
     omean, ostd = numpy_welford(decoded.astype(np.float64) / 255)
     np.testing.assert_allclose(out["mean"], omean, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(out["std"], ostd, rtol=1e-3, atol=1e-6)
+
+
+def test_welford_backends_agree(avi):
+    """host (exact integer moments) and device (f32/f64 scan) backends
+    produce the same statistics; 'auto' without an ICRF takes the host
+    path, whose output matches the f64 oracle exactly."""
+    path, decoded = avi
+    host = video.welford_algorithm(path, use_std=True, backend="host")
+    dev = video.welford_algorithm(path, use_std=True, backend="device")
+    np.testing.assert_allclose(host["mean"], dev["mean"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(host["std"], dev["std"], rtol=1e-3,
+                               atol=1e-6)
+    omean, ostd = numpy_welford(decoded.astype(np.float64) / 255)
+    np.testing.assert_allclose(host["mean"], omean, rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(host["std"], ostd, rtol=1e-12, atol=1e-15)
+
+
+def test_welford_host_backend_rejects_icrf(avi):
+    path, _ = avi
+    icrf = jnp.asarray(np.linspace(0, 1, 256)[:, None].repeat(3, 1))
+    with pytest.raises(ValueError, match="host"):
+        video.welford_algorithm(path, ICRF=icrf, backend="host")
+    with pytest.raises(ValueError, match="backend"):
+        video.welford_algorithm(path, backend="gpu")
+
+
+def test_prefetch_order_and_errors():
+    items = [np.full((2, 2), i) for i in range(20)]
+    out = list(video._prefetch(iter(items), depth=2))
+    assert len(out) == 20
+    for i, arr in enumerate(out):
+        np.testing.assert_array_equal(arr, items[i])
+
+    def boom():
+        yield items[0]
+        raise RuntimeError("decode failed")
+
+    gen = video._prefetch(boom(), depth=2)
+    next(gen)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(gen)
