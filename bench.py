@@ -116,6 +116,21 @@ def bench_config4():
                       "final_energies": [round(float(e), 4) for e in e1]}))
 
 
+def bench_config5():
+    import os
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent / "benchmarks"))
+    import bench_video
+    if os.environ.get("CL_BENCH_FULL"):
+        out = bench_video.run(1000, 8, 2160, 3840)
+    else:
+        # scaled: same 4K frame geometry and full decode->stats->merge
+        # stream, fewer frames/scenes (full-size numbers: RESULTS.md)
+        out = bench_video.run(100, 2, 2160, 3840)
+    print(json.dumps(out))
+
+
 def bench_config2_headline():
     import jax.numpy as jnp
     from camera_linearity_tpu.ops import hdr
@@ -139,7 +154,8 @@ def bench_config2_headline():
 
 
 def main():
-    for bench in (bench_config1, bench_config3, bench_config4):
+    for bench in (bench_config1, bench_config3, bench_config4,
+                  bench_config5):
         try:
             bench()
         except Exception as e:  # noqa: BLE001 — never lose the headline

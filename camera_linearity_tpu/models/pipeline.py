@@ -11,6 +11,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,7 +49,12 @@ def videos_to_exposure_series(video_paths: Sequence[Path],
                                           config=config,
                                           batch_size=batch_size,
                                           quantize=False)
-        m = Measurand(jnp.asarray(out["mean"]), jnp.asarray(out["std"]))
+        # cast on host to the canonical float before staging: shipping f64
+        # over the host->device link costs 2x the bytes only to be cast on
+        # arrival when x64 is off
+        ftype = jax.dtypes.canonicalize_dtype(np.float64)
+        m = Measurand(jnp.asarray(out["mean"].astype(ftype)),
+                      jnp.asarray(out["std"].astype(ftype)))
         sets.append(ImageSet(file_path=path.with_suffix(".tif"),
                              measurand=m, config=config))
     return ExposureSeries(input_image_sets=sets, config=config)

@@ -76,6 +76,72 @@ def _frame_batches(file_paths: List[Path], batch_size: int
         yield np.stack(batch)
 
 
+_HOST_BUFFERS: Dict[tuple, tuple] = {}
+
+
+def _host_buffers(batch_size: int, height: int, width: int, chs: int):
+    """Process-global decode pool + moment accumulators per frame geometry.
+
+    First-touch page faults on virtualized hosts can run 40-60x slower than
+    warm reuse (measured 0.11 vs 6.8 GB/s here), so the GBs of staging the
+    host statistics path needs are allocated once per geometry and recycled
+    across calls.  The accumulators are zeroed per run by HostMoments.
+    """
+    key = (batch_size, height, width, chs)
+    if key not in _HOST_BUFFERS:
+        pool = [np.empty((batch_size, height, width, chs), np.uint8)
+                for _ in range(4)]
+        bufs = (np.empty((height, width, chs), np.uint64),
+                np.empty((height, width, chs), np.uint64))
+        _HOST_BUFFERS[key] = (pool, bufs)
+    return _HOST_BUFFERS[key]
+
+
+def _frame_batches_into(file_paths: List[Path], batch_size: int,
+                        pool: List[np.ndarray]
+                        ) -> Iterator[np.ndarray]:
+    """Decode frames directly into a rotating pool of preallocated batch
+    buffers via ``grab``+``retrieve(out)`` and yield views of them.
+
+    Fresh 25 MB frame allocations cost more than the decode itself on this
+    class of host (first-touch page faults); reusing warm buffers makes the
+    loop run at the decoder's native rate.  Safe together with ``_prefetch``
+    only while ``len(pool) > depth + 1`` (depth buffers queued, one in the
+    consumer's hands, one being filled).  The consumer must be done with a
+    yielded view by the time it requests the ``len(pool)-1``-th batch after
+    it — true for synchronous host accumulation (``HostMoments.update``
+    returns only after reading the batch).
+    """
+    slot = 0
+    filled = 0
+    buf = pool[slot]
+    for file_path in file_paths:
+        video = cv.VideoCapture(str(file_path))
+        if not video.isOpened():
+            video.release()
+            raise ValueError(f"Unable to open video file at {file_path}")
+        try:
+            while True:
+                if not video.grab():
+                    break
+                dst = buf[filled]
+                ret, frame = video.retrieve(dst)
+                if not ret:
+                    break
+                if frame is not dst and frame.base is not buf:
+                    np.copyto(dst, frame)  # codec returned its own buffer
+                filled += 1
+                if filled == batch_size:
+                    yield buf
+                    slot = (slot + 1) % len(pool)
+                    buf = pool[slot]
+                    filled = 0
+        finally:
+            video.release()
+    if filled:
+        yield buf[:filled]
+
+
 _PREFETCH_DONE = object()
 
 
@@ -169,18 +235,24 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
     if backend == "auto":
         backend = "host" if icrf_dev is None else "device"
 
-    batches = _prefetch(_frame_batches(file_paths, batch_size))
     if backend == "host":
-        acc = native.HostMoments((height, width, config.num_of_chs),
-                                 1.0 / max_dn)
-        for batch in batches:
+        native.tune_host_allocator()
+        chs = config.num_of_chs
+        pool, bufs = _host_buffers(min(batch_size, 16), height, width, chs)
+        acc = native.HostMoments((height, width, chs), 1.0 / max_dn,
+                                 _buffers=bufs)
+        for batch in _prefetch(_frame_batches_into(
+                file_paths, pool[0].shape[0], pool), depth=2):
             acc.update(batch)
         mean_np, std_full = acc.finalize()
         std_np = std_full if use_std else None
     else:
+        from ..utils.general import stage_to_device
+        batches = _prefetch(_frame_batches(file_paths, batch_size))
         state = wf.welford_init((height, width, config.num_of_chs))
         for batch in batches:
-            frames = _prepare_frames(jnp.asarray(batch), icrf_dev, max_dn)
+            frames = _prepare_frames(stage_to_device(batch), icrf_dev,
+                                     max_dn)
             if batch.shape[0] == batch_size:
                 state = wf.welford_update_batch(state, frames)
             else:  # remainder: single-frame path, avoids a new scan compile

@@ -17,7 +17,32 @@ import numpy as np
 
 __all__ = ["available", "u8_to_f32", "u8_hwc_to_cfirst_f32",
            "welford_update_batch_u8", "HostWelford",
-           "accum_moments_u8", "HostMoments"]
+           "accum_moments_u8", "HostMoments", "tune_host_allocator"]
+
+_allocator_tuned = False
+
+
+def tune_host_allocator() -> bool:
+    """Raise glibc's mmap/trim thresholds so freed multi-hundred-MB staging
+    buffers stay on the heap instead of being unmapped and re-faulted.
+
+    On virtualized hosts first-touch page faults can run ~60x slower than
+    warm reuse (measured 0.11 vs 6.8 GB/s here), which made every fresh
+    decode/accumulator buffer cost seconds.  Idempotent; returns False on
+    non-glibc platforms.  Called by the host statistics path and the
+    benchmark drivers.
+    """
+    global _allocator_tuned
+    if _allocator_tuned:
+        return True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        ok = (libc.mallopt(-3, 1 << 30) == 1    # M_MMAP_THRESHOLD
+              and libc.mallopt(-1, 1 << 30) == 1)  # M_TRIM_THRESHOLD
+    except OSError:
+        return False
+    _allocator_tuned = ok
+    return ok
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "stager.cpp"
@@ -179,9 +204,17 @@ class HostMoments:
     that lets a single-core host keep statistics ahead of video decode.
     """
 
-    def __init__(self, shape, scale: float):
-        self.sum = np.zeros(shape, np.uint64)
-        self.sumsq = np.zeros(shape, np.uint64)
+    def __init__(self, shape, scale: float, _buffers=None):
+        if _buffers is not None:
+            # caller-provided accumulators (reused across runs: fresh large
+            # allocations fault pages far slower than warm reuse on some
+            # virtualized hosts); zeroed here
+            self.sum, self.sumsq = _buffers
+            self.sum.fill(0)
+            self.sumsq.fill(0)
+        else:
+            self.sum = np.zeros(shape, np.uint64)
+            self.sumsq = np.zeros(shape, np.uint64)
         self.count = 0
         self.scale = float(scale)
 

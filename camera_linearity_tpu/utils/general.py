@@ -12,8 +12,25 @@ Array = jnp.ndarray
 
 __all__ = [
     "is_broadcastable", "choose_evenly_spaced_points", "predict_output_shape",
-    "map_linearity_limits", "interpolate_data",
+    "map_linearity_limits", "interpolate_data", "stage_to_device",
 ]
+
+
+def stage_to_device(arr: np.ndarray, max_bytes: int = 128 << 20) -> Array:
+    """Host->device transfer chunked along axis 0.
+
+    Remote-device transports can fall off a bandwidth cliff above a staging
+    threshold (measured here: ~1 GB/s below 200 MB per transfer, ~37 MB/s at
+    400 MB), so large arrays ship as <=``max_bytes`` slices and concatenate
+    on device (one cheap HBM copy).
+    """
+    if arr.nbytes <= max_bytes or arr.shape[0] <= 1:
+        return jnp.asarray(arr)
+    pieces = int(np.ceil(arr.nbytes / max_bytes))
+    pieces = min(pieces, arr.shape[0])
+    return jnp.concatenate(
+        [jnp.asarray(chunk) for chunk in np.array_split(arr, pieces, axis=0)],
+        axis=0)
 
 
 def is_broadcastable(shape1: Tuple[int, ...], shape2: Tuple[int, ...]) -> bool:

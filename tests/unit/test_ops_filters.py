@@ -146,3 +146,15 @@ ICRFs = ICRF_blue.txt,ICRF_green.txt,ICRF_red.txt
     assert cfg.ch_chars == ("b", "g", "r")
     # hashable -> usable as jit static arg
     hash(cfg)
+
+
+def test_stage_to_device_chunked_equals_direct(rng):
+    from camera_linearity_tpu.utils import general
+    arr = rng.uniform(0, 1, (10, 37, 5)).astype(np.float32)
+    direct = np.asarray(jnp.asarray(arr))
+    chunked = np.asarray(general.stage_to_device(arr, max_bytes=4096))
+    np.testing.assert_array_equal(direct, chunked)
+    # small arrays take the single-transfer path
+    small = rng.uniform(0, 1, (3, 4)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(general.stage_to_device(small)), small)
