@@ -34,6 +34,40 @@ def _exposure_of(path: Path) -> float:
     return feats["exposure"]
 
 
+def videos_to_stacks(video_paths: Sequence[Path],
+                     config: CameraConfig = DEFAULT_CONFIG,
+                     batch_size: int = 32):
+    """Reduce per-exposure videos to HOST (N, H, W, C) value/std stacks.
+
+    The per-video statistics finalize DIRECTLY into slices of the
+    preassembled stack (``HostMoments.finalize(out=...)``) in the
+    canonical device float — no intermediate per-video frames, no
+    conversion pass — so the whole scene then crosses the host->device
+    link as ONE transfer per array.  Returns
+    ``(val_stack, std_stack, exposures, sorted_paths)``, all NumPy.
+    """
+    import time as _time
+    log = get_logger()
+    ftype = jax.dtypes.canonicalize_dtype(np.float64)
+    paths = sorted(video_paths, key=_exposure_of)
+    val_stack = std_stack = None
+    for i, path in enumerate(paths):
+        _t0 = _time.time()
+        if val_stack is None:
+            h, w = video_mod.probe_geometry(path)
+            shape = (len(paths), h, w, config.num_of_chs)
+            val_stack = np.empty(shape, ftype)
+            std_stack = np.empty(shape, ftype)
+        video_mod.welford_algorithm(path, None, use_std=True,
+                                    config=config, batch_size=batch_size,
+                                    quantize=False, dtype=ftype,
+                                    out=(val_stack[i], std_stack[i]))
+        log.debug("videos_to_stacks %s: %.1fs", path.name,
+                  _time.time() - _t0)
+    exposures = np.asarray([_exposure_of(p) for p in paths])
+    return val_stack, std_stack, exposures, paths
+
+
 def videos_to_exposure_series(video_paths: Sequence[Path],
                               config: CameraConfig = DEFAULT_CONFIG,
                               batch_size: int = 32) -> ExposureSeries:
@@ -41,20 +75,17 @@ def videos_to_exposure_series(video_paths: Sequence[Path],
 
     Each video's filename carries its exposure descriptor (the reference's
     grammar, e.g. ``scene 5ms.avi``); the Welford scan produces the value
-    image (mean) and its uncertainty (std of the mean) per exposure.
+    image (mean) and its uncertainty (std of the mean) per exposure.  The
+    per-exposure Measurands are device-resident slices of one staged
+    (N, H, W, C) transfer (see videos_to_stacks).
     """
+    val_stack, std_stack, _, paths = videos_to_stacks(
+        video_paths, config, batch_size)
+    dval = jnp.asarray(val_stack)
+    dstd = jnp.asarray(std_stack)
     sets: List[ImageSet] = []
-    for path in sorted(video_paths, key=_exposure_of):
-        out = video_mod.welford_algorithm(path, None, use_std=True,
-                                          config=config,
-                                          batch_size=batch_size,
-                                          quantize=False)
-        # cast on host to the canonical float before staging: shipping f64
-        # over the host->device link costs 2x the bytes only to be cast on
-        # arrival when x64 is off
-        ftype = jax.dtypes.canonicalize_dtype(np.float64)
-        m = Measurand(jnp.asarray(out["mean"].astype(ftype)),
-                      jnp.asarray(out["std"].astype(ftype)))
+    for i, path in enumerate(paths):
+        m = Measurand(dval[i], dstd[i])
         sets.append(ImageSet(file_path=path.with_suffix(".tif"),
                              measurand=m, config=config))
     return ExposureSeries(input_image_sets=sets, config=config)
@@ -85,18 +116,27 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     With a mesh, the merge runs sharded (scenes over ``data``, rows over
     ``pixel`` — parallel/sharded.py); otherwise one batched device call.
     """
+    import time as _time
     from ..ops.linearize import icrf_derivative
+    log = get_logger()
     cfg = config
     icrf_j = jnp.asarray(ICRF)
     icrf_diff_j = jnp.asarray(ICRF_diff) if ICRF_diff is not None else \
         icrf_derivative(icrf_j, cfg.bits)
 
     names = list(scenes.keys())
+    _t0 = _time.time()
     series_list = [videos_to_exposure_series(scenes[k], cfg) for k in names]
+    log.info("batch_video_to_hdr: %d series in %.1fs", len(names),
+             _time.time() - _t0)
+    _t0 = _time.time()
     stacks = [s.stack(with_std=True) for s in series_list]
     batch_val = jnp.stack([sv for sv, _, _ in stacks])
     batch_std = jnp.stack([ss for _, ss, _ in stacks])
+    batch_val.block_until_ready()
     exposures = stacks[0][2]
+    log.info("batch_video_to_hdr: stacked in %.1fs", _time.time() - _t0)
+    _t0 = _time.time()
 
     if mesh is not None:
         from ..parallel import sharded
@@ -109,6 +149,8 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
         out_val, out_std = hdr_ops.merge_batch(batch_val, batch_std,
                                                exposures, icrf_j,
                                                icrf_diff_j)
+    out_val.block_until_ready()
+    log.info("batch_video_to_hdr: merged in %.1fs", _time.time() - _t0)
 
     results = {}
     for i, name in enumerate(names):

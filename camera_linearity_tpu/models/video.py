@@ -14,7 +14,7 @@ import queue
 import threading
 from functools import partial
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Union
+from typing import Dict, Iterator, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -82,17 +82,19 @@ _HOST_BUFFERS: Dict[tuple, tuple] = {}
 def _host_buffers(batch_size: int, height: int, width: int, chs: int):
     """Process-global decode pool + moment accumulators per frame geometry.
 
-    First-touch page faults on virtualized hosts can run 40-60x slower than
-    warm reuse (measured 0.11 vs 6.8 GB/s here), so the GBs of staging the
-    host statistics path needs are allocated once per geometry and recycled
-    across calls.  The accumulators are zeroed per run by HostMoments.
+    Allocated once per geometry as dedicated prefaulted mmaps
+    (``native.mmap_buffer``) and recycled across calls: the brk heap's
+    first-touch fault rate on virtualized hosts is pathological (~0.09 GB/s
+    vs ~7 GB/s warm), so the GBs of staging the host statistics path needs
+    must never fault inside the decode loop.  The accumulators are zeroed
+    per run by HostMoments.
     """
     key = (batch_size, height, width, chs)
     if key not in _HOST_BUFFERS:
-        pool = [np.empty((batch_size, height, width, chs), np.uint8)
-                for _ in range(4)]
-        bufs = (np.empty((height, width, chs), np.uint64),
-                np.empty((height, width, chs), np.uint64))
+        pool = [native.mmap_buffer((batch_size, height, width, chs),
+                                   np.uint8) for _ in range(4)]
+        bufs = (native.mmap_buffer((height, width, chs), np.uint64),
+                native.mmap_buffer((height, width, chs), np.uint64))
         _HOST_BUFFERS[key] = (pool, bufs)
     return _HOST_BUFFERS[key]
 
@@ -185,13 +187,27 @@ def _prepare_frames(frames_u8, icrf_dev, max_dn: int):
 _single_update = jax.jit(wf.welford_update)
 
 
+def probe_geometry(video_path: Path) -> Tuple[int, int]:
+    """(height, width) of a video file's frames."""
+    video = cv.VideoCapture(str(video_path))
+    if not video.isOpened():
+        video.release()
+        raise ValueError(f"Unable to open video file at {video_path}")
+    width = int(video.get(cv.CAP_PROP_FRAME_WIDTH))
+    height = int(video.get(cv.CAP_PROP_FRAME_HEIGHT))
+    video.release()
+    return height, width
+
+
 def welford_algorithm(file_paths: Union[Path, List[Path]],
                       ICRF: Optional[Array] = None,
                       use_std: bool = False,
                       config: CameraConfig = DEFAULT_CONFIG,
                       batch_size: int = 32,
                       quantize: bool = False,
-                      backend: str = "auto") -> Dict[str, np.ndarray]:
+                      backend: str = "auto",
+                      dtype=np.float64,
+                      out=None) -> Dict[str, np.ndarray]:
     """Mean (and std-of-mean) frame over all frames of the given videos
     (video_processing.py:161-219).
 
@@ -199,7 +215,11 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
     (fixing the reference's ``if ICRF:`` array-truthiness bug,
     video_processing.py:200).  The default returns float arrays;
     ``quantize=True`` opts into the reference's uint8 outputs, including
-    its bug of rounding the [0,1]-scale std straight to uint8.
+    its bug of rounding the [0,1]-scale std straight to uint8.  ``dtype``
+    selects the output float type: float32 narrows on the final store
+    (arithmetic is unchanged), sparing device-bound consumers a full-frame
+    conversion pass.  ``out=(mean, std)`` writes results into
+    caller-provided ``dtype`` arrays (e.g. slices of an exposure stack).
 
     ``backend`` selects where the statistics accumulate:
 
@@ -219,13 +239,7 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
     if backend not in ("auto", "device", "host"):
         raise ValueError(f"unknown backend {backend!r}")
 
-    video = cv.VideoCapture(str(file_paths[0]))
-    if not video.isOpened():
-        video.release()
-        raise ValueError(f"Unable to open video file at {file_paths[0]}")
-    width = int(video.get(cv.CAP_PROP_FRAME_WIDTH))
-    height = int(video.get(cv.CAP_PROP_FRAME_HEIGHT))
-    video.release()
+    height, width = probe_geometry(file_paths[0])
 
     max_dn = config.max_dn
     icrf_dev = None if ICRF is None else jnp.asarray(ICRF)
@@ -244,8 +258,8 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
         for batch in _prefetch(_frame_batches_into(
                 file_paths, pool[0].shape[0], pool), depth=2):
             acc.update(batch)
-        mean_np, std_full = acc.finalize()
-        std_np = std_full if use_std else None
+        mean_np, std_np = acc.finalize(use_std=use_std, dtype=dtype,
+                                       out=out)
     else:
         from ..utils.general import stage_to_device
         batches = _prefetch(_frame_batches(file_paths, batch_size))
@@ -260,8 +274,15 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
                     state = _single_update(state, frames[k])
 
         mean, std = wf.welford_finalize(state, use_std=True)
-        mean_np = np.asarray(mean)
-        std_np = np.asarray(std) if use_std else None
+        mean_np = np.asarray(mean).astype(dtype, copy=False)
+        std_np = np.asarray(std).astype(dtype, copy=False) if use_std \
+            else None
+        if out is not None:
+            out[0][...] = mean_np
+            mean_np = out[0]
+            if std_np is not None:
+                out[1][...] = std_np
+                std_np = out[1]
 
     if quantize:
         mean_np = np.around(mean_np * max_dn).astype(np.uint8)

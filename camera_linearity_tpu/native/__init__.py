@@ -17,32 +17,53 @@ import numpy as np
 
 __all__ = ["available", "u8_to_f32", "u8_hwc_to_cfirst_f32",
            "welford_update_batch_u8", "HostWelford",
-           "accum_moments_u8", "HostMoments", "tune_host_allocator"]
-
-_allocator_tuned = False
+           "accum_moments_u8", "HostMoments", "tune_host_allocator",
+           "mmap_buffer"]
 
 
 def tune_host_allocator() -> bool:
-    """Raise glibc's mmap/trim thresholds so freed multi-hundred-MB staging
-    buffers stay on the heap instead of being unmapped and re-faulted.
+    """Host-allocator policy hook for the streaming paths (now a no-op).
 
-    On virtualized hosts first-touch page faults can run ~60x slower than
-    warm reuse (measured 0.11 vs 6.8 GB/s here), which made every fresh
-    decode/accumulator buffer cost seconds.  Idempotent; returns False on
-    non-glibc platforms.  Called by the host statistics path and the
-    benchmark drivers.
+    Measured on this class of virtualized host: glibc *heap* (brk) pages
+    fault on first touch at ~0.09 GB/s, fresh anonymous *mmap* pages at
+    ~1.4 GB/s, and warm (already-faulted) pages at ~7 GB/s.  Round 1 raised
+    M_MMAP_THRESHOLD to keep big buffers on the heap for warm reuse — but
+    that sends every COLD large allocation through the pathological brk
+    path (16x slower than mmap first-touch).  The current design instead
+    leaves glibc at its defaults (large NumPy temporaries become plain
+    mmaps, 1.4 GB/s worst case) and routes the big persistent streaming
+    buffers through :func:`mmap_buffer`, which prefaults them once.
+    Kept as an API entry point so callers have one place that owns this
+    policy; returns True.
     """
-    global _allocator_tuned
-    if _allocator_tuned:
-        return True
+    return True
+
+
+def mmap_buffer(shape, dtype, prefault: bool = True) -> np.ndarray:
+    """NumPy array backed by a dedicated anonymous mmap (THP-advised).
+
+    For multi-hundred-MB buffers that live for the whole process (decode
+    pools, moment accumulators): backing them with their own mapping avoids
+    the brk heap's pathological first-touch fault rate, requests
+    transparent hugepages (MADV_HUGEPAGE) where the kernel honors madvise,
+    and — with ``prefault`` — pays the page-fault cost once, up front, at
+    sequential-fill speed rather than scattered through a decode loop.
+    """
+    import mmap as _mmap
+    dt = np.dtype(dtype)
+    nbytes = int(np.prod(shape)) * dt.itemsize
+    buf = _mmap.mmap(-1, nbytes)
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        ok = (libc.mallopt(-3, 1 << 30) == 1    # M_MMAP_THRESHOLD
-              and libc.mallopt(-1, 1 << 30) == 1)  # M_TRIM_THRESHOLD
-    except OSError:
-        return False
-    _allocator_tuned = ok
-    return ok
+        addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+        libc.madvise(ctypes.c_void_p(addr), ctypes.c_size_t(nbytes),
+                     14)  # MADV_HUGEPAGE
+    except (OSError, ValueError):
+        pass
+    arr = np.frombuffer(buf, dtype=dt).reshape(shape)
+    if prefault:
+        arr.view(np.uint8).reshape(-1)[:] = 0
+    return arr
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "stager.cpp"
@@ -94,6 +115,12 @@ def _load() -> Optional[ctypes.CDLL]:
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.clt_accum_moments_u8.argtypes = [
         u8p, ctypes.c_size_t, ctypes.c_size_t, u64p, u64p, ctypes.c_int]
+    lib.clt_finalize_moments_u64.argtypes = [
+        u64p, u64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
+        f64p, f64p, ctypes.c_int]
+    lib.clt_finalize_moments_u64_f32.argtypes = [
+        u64p, u64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
+        f32p, f32p, ctypes.c_int]
     lib.clt_version.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -224,16 +251,72 @@ class HostMoments:
         accum_moments_u8(frames, self.sum, self.sumsq)
         self.count += frames.shape[0]
 
-    def finalize(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    def finalize(self, use_std: bool = True, dtype=np.float64, out=None
+                 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Recover (mean, std_of_mean) from the integer accumulators.
+
+        Runs as ONE fused native pass writing only the two outputs: the
+        equivalent NumPy expression allocates ~8 full-frame f64
+        temporaries, which on virtualized hosts (first-touch page faults
+        ~60x slower than warm access) costs seconds per 4K frame and was
+        the dominant term of the video pipeline, ahead of decode.
+
+        ``dtype`` float32 narrows on store (arithmetic stays f64 — results
+        are bit-identical to finalizing in f64 then casting) and skips the
+        extra full-frame conversion pass device-bound callers would pay.
+        ``out=(mean, std)`` writes into caller-provided C-contiguous
+        ``dtype`` arrays (std entry ignored when no std is produced) —
+        e.g. slices of a preassembled exposure stack, skipping the
+        intermediate per-video frames entirely.
+        """
         n = float(self.count)
+        want_std = use_std and self.count >= 2
+        dt = np.dtype(dtype)
+        if out is not None:
+            if out[0].dtype != dt or not out[0].flags.c_contiguous or \
+                    (want_std and (out[1].dtype != dt
+                                   or not out[1].flags.c_contiguous)):
+                raise ValueError("finalize out= arrays must be "
+                                 f"C-contiguous {dt}")
+        lib = _load()
+        if lib is not None and dt in (np.float32, np.float64):
+            fn = (lib.clt_finalize_moments_u64 if dt == np.float64
+                  else lib.clt_finalize_moments_u64_f32)
+            cty = ctypes.c_double if dt == np.float64 else ctypes.c_float
+            outp = ctypes.POINTER(cty)
+            if out is not None:
+                mean = out[0]
+                std = out[1] if want_std else None
+            else:
+                mean = np.empty(self.sum.shape, dt)
+                std = np.empty(self.sum.shape, dt) if want_std else None
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            fn(self.sum.ctypes.data_as(u64p),
+               self.sumsq.ctypes.data_as(u64p),
+               self.sum.size, ctypes.c_double(n),
+               ctypes.c_double(self.scale),
+               mean.ctypes.data_as(outp),
+               std.ctypes.data_as(outp) if want_std else
+               ctypes.cast(None, outp),
+               _NTHREADS)
+            return mean, std
         s = self.sum.astype(np.float64)
         mean = s / n * self.scale
-        if self.count < 2:
-            return mean, None
-        m2 = (self.sumsq.astype(np.float64) - s * s / n) * self.scale ** 2
-        np.maximum(m2, 0.0, out=m2)
-        std = np.sqrt(m2 / (n - 1.0)) / np.sqrt(n)
-        return mean, std
+        std = None
+        if want_std:
+            m2 = (self.sumsq.astype(np.float64) - s * s / n) \
+                * self.scale ** 2
+            np.maximum(m2, 0.0, out=m2)
+            std = np.sqrt(m2 / (n - 1.0)) / np.sqrt(n)
+        if out is not None:
+            out[0][...] = mean
+            mean = out[0]
+            if want_std:
+                out[1][...] = std
+                std = out[1]
+            return mean, std
+        return (mean.astype(dt, copy=False),
+                None if std is None else std.astype(dt, copy=False))
 
 
 class HostWelford:

@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <cmath>
 #include <thread>
 #include <vector>
 #include <algorithm>
@@ -151,6 +152,65 @@ void clt_accum_moments_u8(const std::uint8_t* frames, std::size_t batch,
     });
 }
 
-int clt_version() { return 2; }
+// Fused finalization of the exact integer moments into mean and
+// std-of-mean frames, single pass, no temporaries.  Mirrors the NumPy
+// expression in HostMoments.finalize operation-for-operation:
+//   mean = (sum / n) * scale
+//   m2   = (sumsq - sum*sum/n) * scale^2, clamped at 0
+//   std  = sqrt(m2 / (n-1)) / sqrt(n)
+// (reference semantics: modules/video_processing.py:210-215).  The NumPy
+// version allocates ~8 full-frame f64 temporaries; on virtualized hosts
+// where first-touch page faults run ~60x slower than warm access that
+// costs seconds per 4K frame — this pass writes only the two outputs.
+// std_of_mean may be null to skip the uncertainty output.
+void clt_finalize_moments_u64(const std::uint64_t* sum,
+                              const std::uint64_t* sumsq, std::size_t n,
+                              double count, double scale, double* mean,
+                              double* std_of_mean, int nthreads) {
+    // divisions kept as divisions (not reciprocal multiplies) so results
+    // are bit-identical to the NumPy fallback expression
+    const double scale2 = scale * scale;
+    const double nm1 = count - 1.0;
+    const double sqrt_n = std::sqrt(count);
+    parallel_for(n, nthreads, [&](std::size_t lo, std::size_t hi) {
+        for (std::size_t i = lo; i < hi; ++i) {
+            const double s = static_cast<double>(sum[i]);
+            mean[i] = s / count * scale;
+            if (std_of_mean != nullptr) {
+                double m2 = (static_cast<double>(sumsq[i]) - s * s / count)
+                            * scale2;
+                m2 = std::max(m2, 0.0);
+                std_of_mean[i] = std::sqrt(m2 / nm1) / sqrt_n;
+            }
+        }
+    });
+}
+
+// f32-output variant: identical double-precision arithmetic, results cast
+// to float on store (bit-identical to computing in f64 and narrowing
+// afterwards, without the extra full-frame pass).
+void clt_finalize_moments_u64_f32(const std::uint64_t* sum,
+                                  const std::uint64_t* sumsq, std::size_t n,
+                                  double count, double scale, float* mean,
+                                  float* std_of_mean, int nthreads) {
+    const double scale2 = scale * scale;
+    const double nm1 = count - 1.0;
+    const double sqrt_n = std::sqrt(count);
+    parallel_for(n, nthreads, [&](std::size_t lo, std::size_t hi) {
+        for (std::size_t i = lo; i < hi; ++i) {
+            const double s = static_cast<double>(sum[i]);
+            mean[i] = static_cast<float>(s / count * scale);
+            if (std_of_mean != nullptr) {
+                double m2 = (static_cast<double>(sumsq[i]) - s * s / count)
+                            * scale2;
+                m2 = std::max(m2, 0.0);
+                std_of_mean[i] =
+                    static_cast<float>(std::sqrt(m2 / nm1) / sqrt_n);
+            }
+        }
+    });
+}
+
+int clt_version() { return 4; }
 
 }  // extern "C"

@@ -115,3 +115,39 @@ def test_accum_moments_numpy_fallback(rng, monkeypatch):
     flat = frames.reshape(67, -1).astype(np.uint64)
     np.testing.assert_array_equal(s_np.reshape(-1), flat.sum(0))
     np.testing.assert_array_equal(q_np.reshape(-1), (flat * flat).sum(0))
+
+
+def test_host_moments_finalize_dtype_and_out(rng, monkeypatch):
+    """f32 finalize == f64 finalize narrowed; out= slices receive identical
+    results; the NumPy fallback matches the native pass bit-for-bit."""
+    frames = rng.integers(0, 256, (40, 8, 11, 3), dtype=np.uint8)
+    acc = native.HostMoments((8, 11, 3), scale=1.0 / 255)
+    acc.update(frames)
+
+    mean64, std64 = acc.finalize()
+    mean32, std32 = acc.finalize(dtype=np.float32)
+    np.testing.assert_array_equal(mean32, mean64.astype(np.float32))
+    np.testing.assert_array_equal(std32, std64.astype(np.float32))
+
+    stack_v = np.zeros((2, 8, 11, 3), np.float32)
+    stack_s = np.zeros((2, 8, 11, 3), np.float32)
+    mv, ms = acc.finalize(dtype=np.float32, out=(stack_v[1], stack_s[1]))
+    assert mv.base is stack_v and ms.base is stack_s
+    np.testing.assert_array_equal(stack_v[1], mean32)
+    np.testing.assert_array_equal(stack_s[1], std32)
+    assert not stack_v[0].any()
+
+    with np.testing.assert_raises(ValueError):
+        acc.finalize(dtype=np.float32, out=(np.zeros((8, 11, 3)),
+                                            np.zeros((8, 11, 3))))
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    mean_np, std_np = acc.finalize()
+    np.testing.assert_array_equal(mean_np, mean64)
+    np.testing.assert_array_equal(std_np, std64)
+    out_v = np.empty((8, 11, 3), np.float32)
+    out_s = np.empty((8, 11, 3), np.float32)
+    native.HostMoments.finalize(acc, dtype=np.float32, out=(out_v, out_s))
+    np.testing.assert_array_equal(out_v, mean32)
+    np.testing.assert_array_equal(out_s, std32)
