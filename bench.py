@@ -70,11 +70,25 @@ def bench_config3():
     flat_v = jnp.asarray(rng.uniform(0.7, 1.0, (h, w, c)), jnp.float32)
     flat_s = jnp.asarray(rng.uniform(0.001, 0.01, (h, w, c)), jnp.float32)
     exposures = jnp.asarray(0.001 * 2.0 ** np.arange(n), jnp.float32)
-    icrf, icrf_diff = _icrf(rng, bits, c)
+    # reference-faithful 12-bit tables: np.interp expansions of 256 solved
+    # datapoints (reference ICRF_calibration_exposure.py:204-216,398-402);
+    # the solved base curves route the merge through the lerp kernel
+    base = np.sort(rng.uniform(0, 1, (256, c)), axis=0)
+    base[0], base[-1] = 0.0, 1.0
+    diff_base = np.gradient(base, 2 / 255, axis=0)
+    x, xb = np.arange(bits) / (bits - 1), np.arange(256) / 255.0
+    icrf = jnp.asarray(np.stack(
+        [np.interp(x, xb, base[:, ch]) for ch in range(c)], 1), jnp.float32)
+    icrf_diff = jnp.asarray(np.stack(
+        [np.interp(x, xb, diff_base[:, ch]) for ch in range(c)], 1),
+        jnp.float32)
+    base_j = jnp.asarray(base, jnp.float32)
+    diff_base_j = jnp.asarray(diff_base, jnp.float32)
     thr = jnp.asarray(0.5, jnp.float32)
     dt = _time(lambda: hdr.merge_corrected(
         val, std, dark, exposures, icrf, icrf_diff, thr, flat_v, flat_s,
-        mid_percentage=0.05, kernel_size=3))
+        mid_percentage=0.05, kernel_size=3, icrf_base=base_j,
+        icrf_diff_base=diff_base_j))
     print(json.dumps({"metric": "config3_merge_12bit_fused_corrections",
                       "unit": "MP/s", "value": round(h * w / 1e6 / dt, 2)}))
 

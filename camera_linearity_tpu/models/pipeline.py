@@ -126,16 +126,32 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
 
     names = list(scenes.keys())
     _t0 = _time.time()
-    series_list = [videos_to_exposure_series(scenes[k], cfg) for k in names]
-    log.info("batch_video_to_hdr: %d series in %.1fs", len(names),
+    # Host statistics for scene k+1 overlap the device upload of scene k:
+    # decode+moments are CPU-bound while the upload is link-bound, and on
+    # tunneled hosts the link sporadically degrades by >10x — hiding it
+    # behind the next scene's decode makes those stalls free.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _to_device(v, s):
+        dv, ds = jnp.asarray(v), jnp.asarray(s)
+        jax.block_until_ready((dv, ds))
+        return dv, ds
+
+    futs = []
+    with ThreadPoolExecutor(max_workers=1) as xfer:
+        for k in names:
+            val, std, exposures_np, paths = videos_to_stacks(scenes[k], cfg)
+            futs.append((xfer.submit(_to_device, val, std), paths))
+    scene_stacks = [f.result() for f, _ in futs]
+    scene_paths = [p for _, p in futs]
+    exposures = jnp.asarray(exposures_np)
+    log.info("batch_video_to_hdr: %d scene stacks in %.1fs", len(names),
              _time.time() - _t0)
     _t0 = _time.time()
-    stacks = [s.stack(with_std=True) for s in series_list]
-    batch_val = jnp.stack([sv for sv, _, _ in stacks])
-    batch_std = jnp.stack([ss for _, ss, _ in stacks])
+    batch_val = jnp.stack([v for v, _ in scene_stacks])
+    batch_std = jnp.stack([s for _, s in scene_stacks])
     batch_val.block_until_ready()
-    exposures = stacks[0][2]
-    log.info("batch_video_to_hdr: stacked in %.1fs", _time.time() - _t0)
+    log.info("batch_video_to_hdr: batched in %.1fs", _time.time() - _t0)
     _t0 = _time.time()
 
     if mesh is not None:
@@ -154,8 +170,8 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
 
     results = {}
     for i, name in enumerate(names):
-        first = series_list[i].input_image_sets[0]
-        hdr_set = ImageSet(file_path=first.path, features=first.features,
+        first_path = scene_paths[i][0].with_suffix(".tif")
+        hdr_set = ImageSet(file_path=first_path,
                            measurand=Measurand(out_val[i], out_std[i]),
                            config=cfg)
         hdr_set.is_hdr = True

@@ -235,7 +235,9 @@ def merge_corrected(stack_val: Array, stack_std: Optional[Array],
                     flat_val: Optional[Array] = None,
                     flat_std: Optional[Array] = None,
                     mid_percentage: float = 0.05,
-                    compat: str = "corrected", kernel_size: int = 3
+                    compat: str = "corrected", kernel_size: int = 3,
+                    icrf_base: Optional[Array] = None,
+                    icrf_diff_base: Optional[Array] = None
                     ) -> Tuple[Array, Optional[Array]]:
     """Corrections-fused merge: bad-pixel prologue -> merge -> flat epilogue
     in ONE jitted computation (BASELINE config 3; reference runs the
@@ -263,7 +265,9 @@ def merge_corrected(stack_val: Array, stack_std: Optional[Array],
             stack_val, stack_std, dark_stack)
 
     hdr_val, hdr_std = merge_hdr(fixed_val, fixed_std, exposures, icrf,
-                                 icrf_diff, compat=compat)
+                                 icrf_diff, compat=compat,
+                                 icrf_base=icrf_base,
+                                 icrf_diff_base=icrf_diff_base)
     if flat_val is not None:
         hdr_val, hdr_std = flat_field_correction(hdr_val, hdr_std, flat_val,
                                                  flat_std, mid_percentage)
@@ -272,7 +276,9 @@ def merge_corrected(stack_val: Array, stack_std: Optional[Array],
 
 def merge_hdr(stack_val: Array, stack_std: Optional[Array], exposures: Array,
               icrf: Array, icrf_diff: Array, compat: str = "corrected",
-              use_pallas: Optional[bool] = None
+              use_pallas: Optional[bool] = None,
+              icrf_base: Optional[Array] = None,
+              icrf_diff_base: Optional[Array] = None
               ) -> Tuple[Array, Optional[Array]]:
     """Dispatch to the fastest merge implementation.
 
@@ -281,7 +287,23 @@ def merge_hdr(stack_val: Array, stack_std: Optional[Array], exposures: Array,
     stacks vs 29 ms for the fused-XLA radix path and 12.4 ms for the
     round-1 kernel.  Elsewhere — or for non-256-entry tables — the jnp
     path runs.  Pass ``use_pallas`` to force either implementation.
+
+    For >8-bit depths, passing the 256-point solved curves as
+    ``icrf_base``/``icrf_diff_base`` selects the piecewise-linear kernel
+    (merge_nhwc_lerp): the reference's >8-bit tables are np.interp
+    expansions of 256 solved datapoints
+    (ICRF_calibration_exposure.py:204-216, 398-402), so evaluating the
+    interpolant in-kernel is the same math at near-8-bit cost — ~4x the
+    exact 4096-radix throughput.  ``icrf``/``icrf_diff`` still provide
+    the expanded tables for the non-TPU fallback (and define ``bits``).
     """
+    if (icrf_base is not None and icrf.shape[0] > 256
+            and jax.default_backend() == "tpu" and use_pallas is not False):
+        from .hdr_pallas2 import merge_nhwc_lerp
+        return merge_nhwc_lerp(
+            stack_val, stack_std, exposures, icrf_base,
+            None if stack_std is None else icrf_diff_base,
+            bits=icrf.shape[0], compat=compat)
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and icrf.shape[0] in (256, 4096))

@@ -49,11 +49,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-__all__ = ["merge_nhwc_fused", "merge_planar_fused", "pack_tables"]
+__all__ = ["merge_nhwc_fused", "merge_planar_fused", "pack_tables",
+           "merge_nhwc_lerp", "merge_planar_lerp", "pack_tables_lerp",
+           "is_piecewise_linear_256"]
 
 # radix decomposition per table size: (HI, LO); LO > 16 uses a further
 # (LO/8, 8) split in stage-2 so the select stays cheap on the VPU.
 _RADIX = {256: (16, 16), 4096: (64, 64)}
+
+# cells for the piecewise-linear (lerp) formulation: any table whose size
+# is a multiple of 256 and whose entries lie on the linear interpolant of
+# its 256-cell grid (true of the reference's >8-bit ICRFs, which are
+# np.interp'd up from DATAPOINTS=256 solved points —
+# reference: modules/ICRF_calibration_exposure.py:204-216,398-402).
+_LERP_CELLS = 256
 
 
 def pack_tables(icrf: Array, icrf_diff: Array) -> Array:
@@ -78,8 +87,63 @@ def pack_tables(icrf: Array, icrf_diff: Array) -> Array:
     return t  # (C, 2*LO, >=128)
 
 
+def is_piecewise_linear_256(icrf, tol: float = 1e-3) -> bool:
+    """Whether a (bits, C) table is well-approximated by the piecewise-
+    linear interpolant of its own 256-point subsample.
+
+    True for the reference's >8-bit ICRFs (np.interp expansions of 256
+    solved datapoints, modules/ICRF_calibration_exposure.py:204-216) and
+    for any smooth response curve; false for tables with genuine sub-cell
+    structure.  NOTE: the 256-point grid recovered here is offset from
+    the expansion's original breakpoints, so reconstruction error is
+    O(curvature/256^2) (~3e-4 for gamma-like curves), not zero — this is
+    a routing heuristic for callers that only hold the expanded table;
+    exact-parity callers should pass the true base curves to
+    ``merge_*_lerp`` instead.  Host-side check on small arrays."""
+    import numpy as np
+    tab = np.asarray(icrf, np.float64)
+    bits = tab.shape[0]
+    if bits <= 256:
+        return False
+    x = np.arange(bits) / (bits - 1)
+    xb = np.arange(256) / 255.0
+    for ch in range(tab.shape[1]):
+        base = np.interp(xb, x, tab[:, ch])
+        recon = np.interp(x, xb, base)
+        if np.max(np.abs(recon - tab[:, ch])) > tol:
+            return False
+    return True
+
+
+def pack_tables_lerp(icrf_base: Array, icrf_diff_base: Optional[Array]
+                     ) -> Array:
+    """Pack 256-point base curves into the lerp kernel's
+    (C, n_tab*2*16, 128) f32 operand.
+
+    Row (tab, pair, lo) at column ``hi`` holds ``base_tab[hi*16+lo+pair]``
+    (clamped at 255): the two cell endpoints of segment ``hi*16+lo``, for
+    each table.  Lanes pad to 128 (fact 4).
+    """
+    assert icrf_base.shape[0] == 256, "lerp base curves must be 256-point"
+    c = icrf_base.shape[1]
+    tabs = [icrf_base] if icrf_diff_base is None else [icrf_base,
+                                                       icrf_diff_base]
+
+    def rows(tab):  # (256, C) -> (C, 2*16, HI=16): [ch, (pair, lo), hi]
+        t = tab.astype(jnp.float32).T                       # (C, 256)
+        p0 = t.reshape(c, 16, 16).transpose(0, 2, 1)        # [ch, lo, hi]
+        shifted = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+        p1 = shifted.reshape(c, 16, 16).transpose(0, 2, 1)
+        return jnp.concatenate([p0, p1], axis=1)            # (C, 32, 16)
+
+    t = jnp.concatenate([rows(tb) for tb in tabs], axis=1)
+    return jnp.pad(t, ((0, 0), (0, 0), (0, 128 - 16)))
+
+
 def _make_kernel(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
-                 compat: str, bits: int):
+                 compat: str, bits: int, lerp: bool = False):
+    if lerp:
+        return _make_kernel_lerp(n, hb, wb, use_std, is_int, compat, bits)
     hi_size, lo_size = _RADIX[bits]
     max_dn = bits - 1
     lo_bits = lo_size.bit_length() - 1
@@ -192,6 +256,107 @@ def _make_kernel(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
     return kernel
 
 
+def _make_kernel_lerp(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
+                      compat: str, bits: int):
+    """Piecewise-linear merge kernel: evaluates 256-point base curves as
+    interpolants at any bit depth, at near-8-bit cost.
+
+    ``table[idx]`` for an np.interp-expanded table equals (to f32
+    rounding) ``lerp(base[j], base[j+1], t)`` with
+    ``pos = idx * 255/(bits-1)``, ``j = floor(pos)``, ``t = pos - j`` —
+    so instead of the exact ``O(bits)``-MACs-per-lookup radix over the
+    expanded table (24.5k MACs/px-exp at 12 bits), the kernel runs the
+    8-bit-sized 16x16 radix over segment PAIRS (3k MACs/px-exp) and a
+    two-FMA lerp on the VPU.
+    """
+    max_dn = bits - 1
+    n_tab = 2 if use_std else 1
+    n_rows = n_tab * 2 * 16
+
+    def kernel(*refs):
+        if use_std:
+            val_ref, std_ref, t_ref, invt_ref, ov_ref, os_ref = refs
+        else:
+            val_ref, t_ref, invt_ref, ov_ref = refs
+        f32 = jnp.float32
+        bf16 = jnp.bfloat16
+        c = lambda v: jnp.float32(v)  # noqa: E731  (pin f32 under x64)
+
+        raw = val_ref[...].reshape(n * hb, wb)
+        if is_int:
+            idx = raw.astype(jnp.int32)
+            x = idx.astype(f32) * c(1.0 / max_dn)
+        else:
+            x = raw.astype(f32)
+            idx = jnp.round(x * c(max_dn)).astype(jnp.int32)
+            idx = jnp.minimum(jnp.maximum(idx, jnp.int32(0)),
+                              jnp.int32(max_dn))
+        pos = idx.astype(f32) * c(255.0 / max_dn)
+        j = jnp.minimum(pos.astype(jnp.int32), jnp.int32(254))
+        t_frac = pos - j.astype(f32)
+        hi = j >> 4
+        lo = j & 15
+
+        w_all = jnp.exp(c(-30.0) * (x - c(0.5)) ** 2)
+        inv_sw = c(1.0) / jnp.sum(w_all.reshape(n, hb, wb), axis=0)
+        inv_sw2 = inv_sw * inv_sw
+        if use_std:
+            s_all = std_ref[...].reshape(n * hb, wb).astype(f32)
+
+        # exact 3-part bf16 split, parts on the contraction dim (fact 3)
+        t = t_ref[...].reshape(n_rows, t_ref.shape[-1])[:, :16]
+        p0 = t.astype(bf16)
+        r1 = t - p0.astype(f32)
+        p1 = r1.astype(bf16)
+        p2 = (r1 - p1.astype(f32)).astype(bf16)
+        t012 = jnp.concatenate([p0, p1, p2], axis=1)       # (n_rows, 48)
+        tb = jnp.broadcast_to(t012[None], (hb, n_rows, 48))
+
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hb, 1, 16, wb), 2)
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (hb, 16, wb), 1)
+
+        acc_v = jnp.zeros((hb, wb), f32)
+        acc_s = jnp.zeros((hb, wb), f32)
+        for e in range(n):
+            sl = slice(e * hb, (e + 1) * hb)
+            oh = (hi[sl].reshape(hb, 1, 1, wb) == iota_hi).astype(bf16)
+            oh3 = jnp.broadcast_to(oh, (hb, 3, 16, wb)).reshape(
+                hb, 48, wb)
+            a = jax.lax.dot_general(
+                tb, oh3,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)            # (hb, n_rows, wb)
+
+            oh_lo = (lo[sl].reshape(hb, 1, wb) == iota_lo).astype(f32)
+            ohl = jnp.broadcast_to(
+                oh_lo.reshape(hb, 1, 16, wb),
+                (hb, n_tab * 2, 16, wb)).reshape(hb, n_rows, wb)
+            y = (a * ohl).reshape(hb, n_tab * 2, 16, wb).sum(axis=2)
+            tf = t_frac[sl]
+            g = y[:, 0, :] + tf * (y[:, 1, :] - y[:, 0, :])
+            if use_std:
+                fp = y[:, 2, :] + tf * (y[:, 3, :] - y[:, 2, :])
+
+            w_e = w_all[sl]
+            invt = invt_ref[e, 0]
+            acc_v = acc_v + w_e * g * invt
+            if use_std:
+                s_e = s_all[sl]
+                dw = c(-60.0) * (x[sl] - c(0.5)) * w_e
+                dg = fp * s_e
+                bracket = (dw * g + w_e * dg) * inv_sw \
+                    - (dw * w_e * g) * inv_sw2
+                scale = dg if compat == "reference" else s_e
+                term = bracket * scale * invt
+                acc_s = acc_s + term * term
+
+        ov_ref[...] = (acc_v * inv_sw).reshape(ov_ref.shape)
+        if use_std:
+            os_ref[...] = jnp.sqrt(acc_s).reshape(os_ref.shape)
+
+    return kernel
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -263,6 +428,85 @@ def merge_planar_fused(val: Array, std: Optional[Array], exposures: Array,
         compiler_params=params, interpret=_interpret(),
     )(val, tables, inv_t)
     return ov, None
+
+
+@partial(jax.jit, static_argnames=("bits", "compat", "hb"))
+def merge_planar_lerp(val: Array, std: Optional[Array], exposures: Array,
+                      icrf_base: Array, icrf_diff_base: Optional[Array],
+                      bits: int, compat: str = "corrected", hb: int = 16
+                      ) -> Tuple[Array, Optional[Array]]:
+    """Fused merge on logical ``(N, C, H, W)`` planar stacks through
+    256-point base curves evaluated as piecewise-linear interpolants.
+
+    Semantically equal (to f32 rounding) to ``merge_planar_fused`` with
+    ``icrf = np.interp``-expanded ``bits``-entry tables — the reference's
+    own construction for >8-bit depths (ICRF_calibration_exposure.py:
+    204-216, 398-402) — at near-8-bit kernel cost instead of the exact
+    radix's O(bits) MACs per lookup.  ``icrf_diff_base`` None merges
+    value-only.
+    """
+    n, ch, h, w = val.shape
+    f32 = jnp.float32
+    use_std = std is not None
+    if use_std and icrf_diff_base is None:
+        raise ValueError("std merge needs icrf_diff_base")
+    is_int = jnp.issubdtype(val.dtype, jnp.integer)
+    hb = min(hb, h)
+    wb = w
+
+    tables = pack_tables_lerp(icrf_base,
+                              icrf_diff_base if use_std else None)
+    inv_t = (1.0 / exposures.astype(f32)).reshape(n, 1)
+    t_rows, t_lanes = tables.shape[1], tables.shape[2]
+
+    grid = (ch, pl.cdiv(h, hb), pl.cdiv(w, wb))
+    kernel = _make_kernel(n, hb, wb, use_std, is_int, compat, bits,
+                          lerp=True)
+    stack_spec = pl.BlockSpec((n, 1, hb, wb),
+                              lambda c_, i, j: (0, c_, i, j),
+                              memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, t_rows, t_lanes),
+                              lambda c_, i, j: (c_, 0, 0),
+                              memory_space=pltpu.VMEM)
+    invt_spec = pl.BlockSpec((n, 1), lambda c_, i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, hb, wb), lambda c_, i, j: (c_, i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((ch, h, w), f32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+    if use_std:
+        ov, os_ = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[stack_spec, stack_spec, table_spec, invt_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[out_shape, out_shape],
+            compiler_params=params, interpret=_interpret(),
+        )(val, std, tables, inv_t)
+        return ov, os_
+    ov = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[stack_spec, table_spec, invt_spec],
+        out_specs=out_spec, out_shape=out_shape,
+        compiler_params=params, interpret=_interpret(),
+    )(val, tables, inv_t)
+    return ov, None
+
+
+@partial(jax.jit, static_argnames=("bits", "compat", "hb"))
+def merge_nhwc_lerp(stack_val: Array, stack_std: Optional[Array],
+                    exposures: Array, icrf_base: Array,
+                    icrf_diff_base: Optional[Array], bits: int,
+                    compat: str = "corrected", hb: int = 16
+                    ) -> Tuple[Array, Optional[Array]]:
+    """NHWC wrapper for :func:`merge_planar_lerp` (free relayout, fact 1)."""
+    planar = lambda s: jnp.transpose(s, (0, 3, 1, 2))  # noqa: E731
+    ov, os_ = merge_planar_lerp(
+        planar(stack_val),
+        None if stack_std is None else planar(stack_std),
+        exposures, icrf_base, icrf_diff_base, bits, compat=compat, hb=hb)
+    to_nhwc = lambda o: jnp.transpose(o, (1, 2, 0))  # noqa: E731
+    return to_nhwc(ov), None if os_ is None else to_nhwc(os_)
 
 
 @partial(jax.jit, static_argnames=("compat", "hb"))

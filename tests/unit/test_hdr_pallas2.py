@@ -104,3 +104,84 @@ def test_rejects_non_256_tables(inputs):
                          jnp.asarray(exposures),
                          jnp.asarray(icrf[:128]),
                          jnp.asarray(icrf_diff[:128]))
+
+
+def _interp_tables(rng, bits, c):
+    """256-point base curves + their np.interp expansions to ``bits``
+    (the reference's >8-bit construction,
+    ICRF_calibration_exposure.py:204-216)."""
+    base = np.sort(rng.uniform(0, 1, (256, c)), axis=0).astype(np.float64)
+    base[0], base[-1] = 0.0, 1.0
+    diff_base = np.gradient(base, 2 / 255, axis=0)
+    x = np.arange(bits) / (bits - 1)
+    xb = np.arange(256) / 255.0
+    icrf = np.stack([np.interp(x, xb, base[:, ch]) for ch in range(c)], 1)
+    diff = np.stack([np.interp(x, xb, diff_base[:, ch]) for ch in range(c)],
+                    1)
+    return (base.astype(np.float32), diff_base.astype(np.float32),
+            icrf.astype(np.float32), diff.astype(np.float32))
+
+
+@pytest.mark.parametrize("bits", [4096, 65536])
+def test_lerp_kernel_matches_expanded_radix(inputs, rng, bits):
+    """Piecewise-linear kernel on base curves == jnp radix merge on the
+    np.interp-expanded tables (merge semantics of 12/16-bit stacks)."""
+    from camera_linearity_tpu.ops.hdr_pallas2 import merge_nhwc_lerp
+    stack_val, stack_std, exposures, _, _ = inputs
+    c = stack_val.shape[-1]
+    base, diff_base, icrf, diff = _interp_tables(rng, bits, c)
+    pv, ps = merge_nhwc_lerp(
+        jnp.asarray(stack_val), jnp.asarray(stack_std),
+        jnp.asarray(exposures), jnp.asarray(base), jnp.asarray(diff_base),
+        bits=bits, hb=8)
+    jv, js = hdr.merge_stack(
+        jnp.asarray(stack_val), jnp.asarray(stack_std),
+        jnp.asarray(exposures), jnp.asarray(icrf), jnp.asarray(diff))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=2e-4,
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(js), rtol=1e-3,
+                               atol=2e-6)
+
+
+def test_lerp_kernel_int_dns_and_no_std(inputs, rng):
+    from camera_linearity_tpu.ops.hdr_pallas2 import merge_nhwc_lerp
+    _, stack_std, exposures, _, _ = inputs
+    c = stack_std.shape[-1]
+    bits = 4096
+    base, diff_base, icrf, diff = _interp_tables(rng, bits, c)
+    dn = rng.integers(0, bits, stack_std.shape).astype(np.int32)
+    pv, ps = merge_nhwc_lerp(jnp.asarray(dn), None, jnp.asarray(exposures),
+                             jnp.asarray(base), None, bits=bits, hb=8)
+    assert ps is None
+    jv, _ = hdr.merge_stack_u8(jnp.asarray(dn), None,
+                               jnp.asarray(exposures), jnp.asarray(icrf),
+                               jnp.asarray(diff))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=2e-4,
+                               atol=2e-6)
+
+
+def test_merge_hdr_routes_base_curves(inputs, rng, monkeypatch):
+    """merge_hdr prefers the lerp kernel when base curves are given on TPU
+    (here: assert the jnp fallback still runs on CPU and agrees)."""
+    stack_val, stack_std, exposures, _, _ = inputs
+    c = stack_val.shape[-1]
+    base, diff_base, icrf, diff = _interp_tables(rng, 4096, c)
+    v1, s1 = hdr.merge_hdr(jnp.asarray(stack_val), jnp.asarray(stack_std),
+                           jnp.asarray(exposures), jnp.asarray(icrf),
+                           jnp.asarray(diff), icrf_base=jnp.asarray(base),
+                           icrf_diff_base=jnp.asarray(diff_base))
+    v2, s2 = hdr.merge_stack(jnp.asarray(stack_val),
+                             jnp.asarray(stack_std),
+                             jnp.asarray(exposures), jnp.asarray(icrf),
+                             jnp.asarray(diff))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=2e-4,
+                               atol=2e-6)
+
+
+def test_is_piecewise_linear_256(rng):
+    from camera_linearity_tpu.ops.hdr_pallas2 import is_piecewise_linear_256
+    base, _, icrf, _ = _interp_tables(rng, 4096, 2)
+    assert is_piecewise_linear_256(icrf.astype(np.float64))
+    raw = np.sort(rng.uniform(0, 1, (4096, 2)), axis=0)
+    assert not is_piecewise_linear_256(raw)
+    assert not is_piecewise_linear_256(base)  # <=256 never qualifies
