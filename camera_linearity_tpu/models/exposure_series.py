@@ -256,12 +256,20 @@ class ExposureSeries:
                           = None,
                           use_std: bool = True,
                           flat_field: Optional[ImageSet] = None,
-                          apply_flat_field: bool = True) -> ImageSet:
+                          apply_flat_field: bool = True,
+                          ICRF_base: Optional[Array] = None,
+                          ICRF_diff_base: Optional[Array] = None
+                          ) -> ImageSet:
         """Merge the series into an HDR image (exposure_series.py:399-419).
 
         Loads the calibrated ICRF from config when none is given; applies the
         bad-pixel prologue against matched dark frames; merges with the fused
         kernel; optionally flat-field-corrects the result.
+
+        For >8-bit depths, pass the 256-point solved curves as
+        ``ICRF_base``/``ICRF_diff_base`` (the calibration's native
+        resolution) to route the merge through the piecewise-linear
+        kernel — ~2.8x the exact-table throughput (ops/hdr.py:merge_hdr).
         """
         cfg = self.config
         if ICRF is None:
@@ -306,7 +314,10 @@ class ExposureSeries:
             compat=cfg.compat_mode
             if cfg.compat_mode in ("corrected", "reference")
             else "corrected",
-            kernel_size=cfg.median_filter_kernel_size)
+            kernel_size=cfg.median_filter_kernel_size,
+            icrf_base=None if ICRF_base is None else jnp.asarray(ICRF_base),
+            icrf_diff_base=None if ICRF_diff_base is None
+            else jnp.asarray(ICRF_diff_base))
 
         hdr_set = ImageSet(
             file_path=first.get_file_path_without_exposure(),

@@ -41,15 +41,29 @@ __all__ = ["sum_of_weights", "merge_stack", "merge_stack_u8", "merge_hdr",
 
 
 def merge_batch(batch_val: "Array", batch_std, exposures, icrf, icrf_diff,
-                compat: str = "corrected", use_pallas=None):
+                compat: str = "corrected", use_pallas=None,
+                icrf_base=None, icrf_diff_base=None):
     """Merge a (B, N, H, W, C) batch of scenes in one device call.
 
     On TPU the batch vmaps over the fused kernel — Pallas turns the vmap
     into an extra grid dimension, so the whole batch is still ONE kernel
     launch with no data movement (measured 697 MP/s aggregate for 4
     scenes of BASELINE config 2 vs 430 via row-folding + transpose).
-    Elsewhere it vmaps the jnp path.
+    Elsewhere it vmaps the jnp path.  256-point base curves select the
+    piecewise-linear kernel for >8-bit tables (see merge_hdr).
     """
+    if (icrf_base is not None and icrf.shape[0] > 256
+            and jax.default_backend() == "tpu" and use_pallas is not False):
+        from .hdr_pallas2 import merge_nhwc_lerp
+        bits = icrf.shape[0]
+        if batch_std is None:
+            v = jax.vmap(lambda bv: merge_nhwc_lerp(
+                bv, None, exposures, icrf_base, None, bits=bits,
+                compat=compat)[0])(batch_val)
+            return v, None
+        return jax.vmap(lambda bv, bs: merge_nhwc_lerp(
+            bv, bs, exposures, icrf_base, icrf_diff_base, bits=bits,
+            compat=compat))(batch_val, batch_std)
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and icrf.shape[0] in (256, 4096))

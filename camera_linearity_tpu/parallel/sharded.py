@@ -34,7 +34,9 @@ __all__ = ["merge_batch_sharded", "dimension_statistics_sharded",
 
 def merge_batch_sharded(batch_val: Array, batch_std: Optional[Array],
                         exposures: Array, icrf: Array, icrf_diff: Array,
-                        mesh: Mesh, compat: str = "corrected"
+                        mesh: Mesh, compat: str = "corrected",
+                        icrf_base: Optional[Array] = None,
+                        icrf_diff_base: Optional[Array] = None
                         ) -> Tuple[Array, Optional[Array]]:
     """HDR-merge a (B, N, H, W, C) batch of scenes across the mesh.
 
@@ -44,25 +46,41 @@ def merge_batch_sharded(batch_val: Array, batch_std: Optional[Array],
     (B_loc, N, H_loc, W, C) block merges through the fast fused kernel
     (ops/hdr.merge_batch folds scenes into image rows — exact, since the
     merge is row-independent); a GSPMD jit cannot partition the Pallas
-    custom-call, so this is a ``shard_map``.
+    custom-call, so this is a ``shard_map``.  256-point base curves route
+    each chip's local merge through the piecewise-linear kernel for
+    >8-bit depths, exactly as in the single-chip path.
     """
     in_spec = P("data", None, "pixel", None, None)
     out_spec = P("data", "pixel", None, None)
+    base_specs = () if icrf_base is None else (P(), P())
+    base_args = () if icrf_base is None else (icrf_base, icrf_diff_base
+                                              if batch_std is not None
+                                              else icrf_base)
+
+    def merge_local(bv, bs, ex, a, b, *bases):
+        kb = {}
+        if bases:
+            kb = {"icrf_base": bases[0],
+                  "icrf_diff_base": bases[1] if len(bases) > 1 else None}
+        return hdr_ops.merge_batch(bv, bs, ex, a, b, compat=compat, **kb)
 
     if batch_std is None:
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(in_spec, P(), P(), P()), out_specs=out_spec)
-        def run_v(bv, ex, a, b):
-            return hdr_ops.merge_batch(bv, None, ex, a, b, compat=compat)[0]
-        return run_v(batch_val, exposures, icrf, icrf_diff), None
+                 in_specs=(in_spec, P(), P(), P()) + base_specs,
+                 out_specs=out_spec)
+        def run_v(bv, ex, a, b, *bases):
+            return merge_local(bv, None, ex, a, b, *bases)[0]
+        return run_v(batch_val, exposures, icrf, icrf_diff,
+                     *base_args), None
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(in_spec, in_spec, P(), P(), P()),
+             in_specs=(in_spec, in_spec, P(), P(), P()) + base_specs,
              out_specs=(out_spec, out_spec))
-    def run(bv, bs, ex, a, b):
-        return hdr_ops.merge_batch(bv, bs, ex, a, b, compat=compat)
+    def run(bv, bs, ex, a, b, *bases):
+        return merge_local(bv, bs, ex, a, b, *bases)
 
-    return run(batch_val, batch_std, exposures, icrf, icrf_diff)
+    return run(batch_val, batch_std, exposures, icrf, icrf_diff,
+               *base_args)
 
 
 def dimension_statistics_sharded(val: Array, std: Optional[Array],

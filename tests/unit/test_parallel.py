@@ -145,3 +145,40 @@ def test_merge_batch_matches_per_scene(rng):
     assert s_only is None
     np.testing.assert_allclose(np.asarray(v_only), np.asarray(bv),
                                rtol=5e-5, atol=1e-6)
+
+
+def test_merge_batch_sharded_with_base_curves(rng, mesh):
+    """Base-curve plumbing through the sharded merge: on non-TPU backends
+    the full tables drive the jnp path (the curves are advisory), so the
+    result must equal the plain sharded merge."""
+    b, n, h, w, c = 2, 3, 16, 24, 3
+    batch_val = rng.uniform(0.05, 0.95, (b, n, h, w, c))
+    batch_std = rng.uniform(0.001, 0.01, (b, n, h, w, c))
+    exposures = np.array([0.001, 0.002, 0.004])
+    base = np.sort(rng.uniform(0, 1, (256, c)), axis=0)
+    base[0], base[-1] = 0.0, 1.0
+    diff_base = np.gradient(base, 2 / 255, axis=0)
+    bits = 4096
+    x, xb = np.arange(bits) / (bits - 1), np.arange(256) / 255.0
+    icrf = np.stack([np.interp(x, xb, base[:, ch]) for ch in range(c)], 1)
+    icrf_diff = np.stack(
+        [np.interp(x, xb, diff_base[:, ch]) for ch in range(c)], 1)
+
+    bv = mesh_mod.shard_batch_of_scenes(jnp.asarray(batch_val), mesh)
+    bs = mesh_mod.shard_batch_of_scenes(jnp.asarray(batch_std), mesh)
+    args = (bv, bs, jnp.asarray(exposures), jnp.asarray(icrf),
+            jnp.asarray(icrf_diff), mesh)
+    out_val, out_std = sharded.merge_batch_sharded(
+        *args, icrf_base=jnp.asarray(base),
+        icrf_diff_base=jnp.asarray(diff_base))
+    ref_val, ref_std = sharded.merge_batch_sharded(*args)
+    np.testing.assert_allclose(np.asarray(out_val), np.asarray(ref_val),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_std), np.asarray(ref_std),
+                               rtol=1e-12)
+
+    vo, _ = sharded.merge_batch_sharded(
+        bv, None, jnp.asarray(exposures), jnp.asarray(icrf),
+        jnp.asarray(icrf_diff), mesh, icrf_base=jnp.asarray(base))
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(ref_val),
+                               rtol=1e-12)
