@@ -549,7 +549,7 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
                 checkpoint_path=None, checkpoint_every: int = 0,
                 polish_steps: int = 200, polish_lr: float = 5e-3,
                 refine_rounds: int = 2, refine_width: float = 0.075,
-                refine_maxiter: int = 500):
+                refine_maxiter: int = 500, return_base: bool = False):
     """Solve the per-channel ICRF by differential evolution
     (ICRF_calibration_exposure.py:288-402).
 
@@ -560,7 +560,10 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     arrays of shape (C, datapoints, K) / (C, datapoints).
 
     Returns (ICRF (bits, C), initial_energies (C,), final_energies (C,),
-    pixel_ratio).
+    pixel_ratio).  With ``return_base`` the solved (datapoints, C) curve
+    is appended — feed it (and its gradient) to ``merge_hdr``'s
+    ``icrf_base`` for the piecewise-linear fast path at >8-bit depths;
+    the returned full-size table is its exact np.interp expansion.
     """
     cfg = config
     chs = cfg.num_of_chs
@@ -720,4 +723,7 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
 
     icrf_interpolated = np.asarray(interpolate_curve(jnp.asarray(icrf_out),
                                                      cfg.bits))
+    if return_base:
+        return (icrf_interpolated, initial_energies, final_energies,
+                pixel_ratio, icrf_out)
     return icrf_interpolated, initial_energies, final_energies, pixel_ratio

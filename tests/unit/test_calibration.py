@@ -116,3 +116,22 @@ def test_calibration_without_mean_icrf(rng):
         tol=1e-3, rng_seed=2)
     assert e1[0] < e0[0]
     assert np.all(np.diff(icrf[:, 0]) >= -1e-9)
+
+
+def test_calibration_return_base_expansion(rng):
+    """return_base yields the solved datapoints-resolution curve whose
+    np.interp expansion IS the returned full-size table — the pair that
+    feeds merge_hdr's piecewise-linear fast path."""
+    stack_dn, exposures, mean_icrf, pca, _ = _synthetic_problem(rng)
+    cfg = CameraConfig(num_of_chs=1, datapoints=256, bit_depth=12)
+    icrf, _, _, _, base = cal.calibration(
+        -1.0, 1.0, channel_stacks=(jnp.asarray(stack_dn[None]), None,
+                                   jnp.asarray(exposures)),
+        pca_arrays=pca[None], mean_icrf_arrays=mean_icrf[None],
+        config=cfg, popsize=10, maxiter=40, tol=1e-3, rng_seed=5,
+        refine_rounds=0, polish_steps=0, return_base=True)
+    assert base.shape == (256, 1)
+    assert icrf.shape == (4096, 1)
+    x, xb = np.arange(4096) / 4095.0, np.arange(256) / 255.0
+    np.testing.assert_allclose(icrf[:, 0], np.interp(x, xb, base[:, 0]),
+                               rtol=0, atol=1e-12)

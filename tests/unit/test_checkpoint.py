@@ -24,10 +24,6 @@ def _solve(checkpoint_path=None, checkpoint_every=0, maxiter=60):
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
 
 
-def _solve_ch(energy_needs_channel_axis):
-    pass
-
-
 def test_checkpointed_solve_matches_plain(tmp_path):
     plain, _ = _solve()
     ckpt_dir = tmp_path / "de"
