@@ -46,8 +46,11 @@ if _platform != "cpu":
     # the bit-level parity gate.
     _orig_allclose = np.testing.assert_allclose
 
+    # 5e-4 rel: TPU f32 transcendentals (exp/log) are a few ULP looser
+    # than NumPy's, and relative error amplifies where log(x) -> 0
+    # (measured 2.6e-4 on the log oracles).
     def _f32_floored_allclose(actual, desired, rtol=1e-7, atol=0, **kw):
-        return _orig_allclose(actual, desired, rtol=max(rtol, 2e-4),
+        return _orig_allclose(actual, desired, rtol=max(rtol, 5e-4),
                               atol=max(atol, 2e-6), **kw)
 
     np.testing.assert_allclose = _f32_floored_allclose
@@ -70,3 +73,16 @@ def rng(request):
 @pytest.fixture(scope="session")
 def n_devices():
     return len(jax.devices())
+
+
+@pytest.fixture(scope="session")
+def ftype():
+    """The canonical float dtype of the device under test (float64 on the
+    CPU parity gate, float32 on accelerators).
+
+    LUT-indexing tests must cast their inputs through this dtype so the
+    NumPy oracle quantizes the SAME values the device sees — otherwise an
+    input within f32-epsilon of a bin boundary rounds to different LUT
+    entries on the two paths and the comparison sees a full bin-width
+    error rather than a rounding error."""
+    return jax.dtypes.canonicalize_dtype(np.float64)

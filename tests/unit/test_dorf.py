@@ -67,7 +67,10 @@ def test_principal_components_match_sklearn():
         # per-column sign (flip-then-anchor == -anchored).
         direct = np.max(np.abs(ours[:, n] - anchored))
         flipped = np.max(np.abs(ours[:, n] + anchored))
-        assert min(direct, flipped) < 1e-6, (n, direct, flipped)
+        # f64 on the CPU parity gate; an f32 SVD (accelerator mode) is
+        # good to ~1e-5 per component against LAPACK's f64
+        tol = 1e-6 if ours.dtype == np.float64 else 1e-4
+        assert min(direct, flipped) < tol, (n, direct, flipped)
 
 
 def test_process_crf_data_end_to_end(tmp_path, rng):

@@ -95,18 +95,19 @@ def test_process_linearity_weighted(rng):
     assert np.all(np.isfinite(rel_stats["means"]))
 
 
-def test_process_hdr_image_end_to_end(rng):
+def test_process_hdr_image_end_to_end(rng, ftype):
     """Full merge through the pipeline layer vs the oracle from
     test_hdr_merge."""
     from tests.unit.test_hdr_merge import numpy_reference_merge
     cfg = CameraConfig(compat_mode="corrected")
     n, h, w, c = 4, 16, 16, 3
-    stack_val = rng.uniform(0.05, 0.95, (n, h, w, c))
-    stack_std = rng.uniform(0.001, 0.01, (n, h, w, c))
+    stack_val = rng.uniform(0.05, 0.95, (n, h, w, c)).astype(ftype)
+    stack_std = rng.uniform(0.001, 0.01, (n, h, w, c)).astype(ftype)
     exposures_ms = [2, 4, 8, 16]
-    icrf = np.sort(rng.uniform(0, 1, (256, c)), axis=0)
+    icrf = np.sort(rng.uniform(0, 1, (256, c)), axis=0).astype(ftype)
     icrf[0], icrf[-1] = 0.0, 1.0
-    icrf_diff = np.gradient(icrf, 2 / 255, axis=0)
+    icrf_diff = np.gradient(icrf.astype(np.float64), 2 / 255,
+                            axis=0).astype(ftype)
 
     sets = [_img(f"{ms}ms BF a 50x.tif", stack_val[i], stack_std[i])
             for i, ms in enumerate(exposures_ms)]

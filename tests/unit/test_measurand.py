@@ -246,12 +246,13 @@ def test_interpolate_modes(xy):
 # linearize: LUT membership (reference test_measurand.py:447-467)
 # ---------------------------------------------------------------------------
 
-def test_linearize_lut_membership(rng):
+def test_linearize_lut_membership(rng, ftype):
     bits, chs = 256, 3
-    icrf = np.sort(rng.uniform(0, 1, (bits, chs)), axis=0)
-    icrf_diff = np.gradient(icrf, 2 / (bits - 1), axis=0)
-    val = rng.uniform(0, 1, (16, 16, chs))
-    std = rng.uniform(0.001, 0.05, (16, 16, chs))
+    icrf = np.sort(rng.uniform(0, 1, (bits, chs)), axis=0).astype(ftype)
+    icrf_diff = np.gradient(icrf.astype(np.float64), 2 / (bits - 1),
+                            axis=0).astype(ftype)
+    val = rng.uniform(0, 1, (16, 16, chs)).astype(ftype)
+    std = rng.uniform(0.001, 0.05, (16, 16, chs)).astype(ftype)
     m = Measurand(jnp.asarray(val), jnp.asarray(std))
     out = m.linearize(jnp.asarray(icrf), jnp.asarray(icrf_diff))
     for c in range(chs):
@@ -296,10 +297,12 @@ def _threshold_oracle(val, std, lower, upper):
 @settings(max_examples=30, deadline=None)
 @given(st.integers(min_value=1, max_value=4),
        st.booleans(), st.booleans(), st.booleans())
-def test_apply_thresholds_regression(chs, use_std, skip_lower, skip_upper):
+def test_apply_thresholds_regression(ftype, chs, use_std, skip_lower,
+                                     skip_upper):
     rng = np.random.default_rng(chs * 7 + use_std)
-    val = rng.uniform(0, 1, (6, 5, chs))
-    std = rng.uniform(0.01, 0.1, (6, 5, chs)) if use_std else None
+    val = rng.uniform(0, 1, (6, 5, chs)).astype(ftype)
+    std = rng.uniform(0.01, 0.1, (6, 5, chs)).astype(ftype) \
+        if use_std else None
     lower = None if skip_lower else \
         [None if i % 2 else 0.25 for i in range(chs)]
     upper = None if skip_upper else [0.75] * chs
