@@ -51,6 +51,7 @@ Array = jnp.ndarray
 
 __all__ = ["merge_nhwc_fused", "merge_planar_fused", "pack_tables",
            "merge_nhwc_lerp", "merge_planar_lerp", "pack_tables_lerp",
+           "merge_nhwc_lerp_bp", "merge_planar_lerp_bp",
            "is_piecewise_linear_256"]
 
 # radix decomposition per table size: (HI, LO); LO > 16 uses a further
@@ -256,8 +257,34 @@ def _make_kernel(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
     return kernel
 
 
+# 19-comparator median-of-9 exchange network (Smith) — index 4 holds the
+# median after the exchanges.  Mirrors ops/filters._MEDIAN9_NET.
+_MED9 = [(1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+         (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
+         (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)]
+
+
+def _median9_block(strip, hb: int, wb: int):
+    """3x3 median of the center ``hb`` rows of an ``(hb+2, wb)`` strip,
+    columns reflect-padded (edge repeat) like scipy mode='reflect'."""
+    def colshift(s, d):
+        if d < 0:
+            return jnp.concatenate([s[:, :1], s[:, :-1]], axis=1)
+        if d > 0:
+            return jnp.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+        return s
+
+    shifted = [colshift(strip, d) for d in (-1, 0, 1)]
+    ws = [shifted[dj][di:di + hb, :]
+          for di in range(3) for dj in range(3)]
+    for a, b in _MED9:
+        ws[a], ws[b] = (jnp.minimum(ws[a], ws[b]),
+                        jnp.maximum(ws[a], ws[b]))
+    return ws[4]
+
+
 def _make_kernel_lerp(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
-                      compat: str, bits: int):
+                      compat: str, bits: int, bad_pixel: bool = False):
     """Piecewise-linear merge kernel: evaluates 256-point base curves as
     interpolants at any bit depth, at near-8-bit cost.
 
@@ -268,13 +295,26 @@ def _make_kernel_lerp(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
     expanded table (24.5k MACs/px-exp at 12 bits), the kernel runs the
     8-bit-sized 16x16 radix over segment PAIRS (3k MACs/px-exp) and a
     two-FMA lerp on the VPU.
+
+    With ``bad_pixel`` the dark-frame hot-pixel repair (3x3 median
+    replace, ops/filters.bad_pixel_filter) fuses into the kernel as a
+    prologue: neighbor row blocks arrive as extra clamped-index inputs,
+    so the stack makes no separate corrections round-trip through HBM.
     """
     max_dn = bits - 1
     n_tab = 2 if use_std else 1
     n_rows = n_tab * 2 * 16
 
     def kernel(*refs):
-        if use_std:
+        if bad_pixel:
+            if use_std:
+                (val_ref, vp_ref, vn_ref, std_ref, sp_ref, sn_ref,
+                 dark_ref, t_ref, invt_ref, thr_ref, ov_ref,
+                 os_ref) = refs
+            else:
+                (val_ref, vp_ref, vn_ref, dark_ref, t_ref, invt_ref,
+                 thr_ref, ov_ref) = refs
+        elif use_std:
             val_ref, std_ref, t_ref, invt_ref, ov_ref, os_ref = refs
         else:
             val_ref, t_ref, invt_ref, ov_ref = refs
@@ -282,7 +322,36 @@ def _make_kernel_lerp(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
         bf16 = jnp.bfloat16
         c = lambda v: jnp.float32(v)  # noqa: E731  (pin f32 under x64)
 
-        raw = val_ref[...].reshape(n * hb, wb)
+        if bad_pixel:
+            # hot-pixel repair prologue: per exposure, median-replace
+            # where the matched dark frame exceeds the threshold
+            i = pl.program_id(1)
+            nh = pl.num_programs(1)
+            thr = thr_ref[0, 0]
+
+            def fix(cur_ref, prev_ref, next_ref, e):
+                cur = cur_ref[e, 0].astype(f32)
+                top = prev_ref[e, 0, hb - 1:hb, :].astype(f32)
+                bot = next_ref[e, 0, 0:1, :].astype(f32)
+                # reflect (edge-repeat) at the image borders; interior
+                # blocks read the true neighbor rows (clamped index maps
+                # deliver the same block at the edges)
+                top = jnp.where(i == 0, cur[0:1, :], top)
+                bot = jnp.where(i == nh - 1, cur[hb - 1:hb, :], bot)
+                strip = jnp.concatenate([top, cur, bot], axis=0)
+                med = _median9_block(strip, hb, wb)
+                hot = dark_ref[e, 0].astype(f32) > thr
+                return jnp.where(hot, med, cur)
+
+            raw = jnp.concatenate(
+                [fix(val_ref, vp_ref, vn_ref, e) for e in range(n)],
+                axis=0)                                  # (n*hb, wb)
+            if use_std:
+                s_all = jnp.concatenate(
+                    [fix(std_ref, sp_ref, sn_ref, e) for e in range(n)],
+                    axis=0)
+        else:
+            raw = val_ref[...].reshape(n * hb, wb)
         if is_int:
             idx = raw.astype(jnp.int32)
             x = idx.astype(f32) * c(1.0 / max_dn)
@@ -300,7 +369,7 @@ def _make_kernel_lerp(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
         w_all = jnp.exp(c(-30.0) * (x - c(0.5)) ** 2)
         inv_sw = c(1.0) / jnp.sum(w_all.reshape(n, hb, wb), axis=0)
         inv_sw2 = inv_sw * inv_sw
-        if use_std:
+        if use_std and not bad_pixel:
             s_all = std_ref[...].reshape(n * hb, wb).astype(f32)
 
         # exact 3-part bf16 split, parts on the contraction dim (fact 3)
@@ -491,6 +560,103 @@ def merge_planar_lerp(val: Array, std: Optional[Array], exposures: Array,
         compiler_params=params, interpret=_interpret(),
     )(val, tables, inv_t)
     return ov, None
+
+
+@partial(jax.jit, static_argnames=("bits", "compat", "hb"))
+def merge_planar_lerp_bp(val: Array, std: Optional[Array], dark: Array,
+                         exposures: Array, icrf_base: Array,
+                         icrf_diff_base: Optional[Array], threshold: Array,
+                         bits: int, compat: str = "corrected", hb: int = 16
+                         ) -> Tuple[Array, Optional[Array]]:
+    """:func:`merge_planar_lerp` with the dark-frame hot-pixel repair
+    (3x3 median replace, reference image_set.py:387-400) fused in as a
+    kernel prologue — the corrected stack never round-trips through HBM.
+
+    ``dark``: (N, C, H, W) matched dark frames (all-zero planes for
+    exposures without one — the repair is then an exact no-op).
+    Requires float stacks and H divisible by ``hb`` (the neighbor-block
+    halo scheme needs uniform row blocks); callers fall back to the
+    unfused chain otherwise.
+    """
+    n, ch, h, w = val.shape
+    f32 = jnp.float32
+    use_std = std is not None
+    if use_std and icrf_diff_base is None:
+        raise ValueError("std merge needs icrf_diff_base")
+    if jnp.issubdtype(val.dtype, jnp.integer):
+        raise ValueError("fused bad-pixel merge needs float stacks")
+    hb = min(hb, h)
+    if h % hb != 0:
+        raise ValueError(f"H={h} must divide into hb={hb} row blocks")
+    wb = w
+    nh = h // hb
+
+    tables = pack_tables_lerp(icrf_base,
+                              icrf_diff_base if use_std else None)
+    inv_t = (1.0 / exposures.astype(f32)).reshape(n, 1)
+    thr = jnp.asarray(threshold, f32).reshape(1, 1)
+    t_rows, t_lanes = tables.shape[1], tables.shape[2]
+
+    grid = (ch, nh, 1)
+    kernel = _make_kernel_lerp(n, hb, wb, use_std, False, compat, bits,
+                               bad_pixel=True)
+    spec = pl.BlockSpec((n, 1, hb, wb), lambda c_, i, j: (0, c_, i, j),
+                        memory_space=pltpu.VMEM)
+    spec_prev = pl.BlockSpec(
+        (n, 1, hb, wb),
+        lambda c_, i, j: (0, c_, jnp.maximum(i - 1, 0), j),
+        memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (n, 1, hb, wb),
+        lambda c_, i, j: (0, c_, jnp.minimum(i + 1, nh - 1), j),
+        memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, t_rows, t_lanes),
+                              lambda c_, i, j: (c_, 0, 0),
+                              memory_space=pltpu.VMEM)
+    invt_spec = pl.BlockSpec((n, 1), lambda c_, i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+    thr_spec = pl.BlockSpec((1, 1), lambda c_, i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, hb, wb), lambda c_, i, j: (c_, i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((ch, h, w), f32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+    if use_std:
+        ov, os_ = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[spec, spec_prev, spec_next, spec, spec_prev,
+                      spec_next, spec, table_spec, invt_spec, thr_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[out_shape, out_shape],
+            compiler_params=params, interpret=_interpret(),
+        )(val, val, val, std, std, std, dark, tables, inv_t, thr)
+        return ov, os_
+    ov = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[spec, spec_prev, spec_next, spec, table_spec, invt_spec,
+                  thr_spec],
+        out_specs=out_spec, out_shape=out_shape,
+        compiler_params=params, interpret=_interpret(),
+    )(val, val, val, dark, tables, inv_t, thr)
+    return ov, None
+
+
+@partial(jax.jit, static_argnames=("bits", "compat", "hb"))
+def merge_nhwc_lerp_bp(stack_val: Array, stack_std: Optional[Array],
+                       dark: Array, exposures: Array, icrf_base: Array,
+                       icrf_diff_base: Optional[Array], threshold: Array,
+                       bits: int, compat: str = "corrected", hb: int = 16
+                       ) -> Tuple[Array, Optional[Array]]:
+    """NHWC wrapper for :func:`merge_planar_lerp_bp` (free relayout)."""
+    planar = lambda s: jnp.transpose(s, (0, 3, 1, 2))  # noqa: E731
+    ov, os_ = merge_planar_lerp_bp(
+        planar(stack_val),
+        None if stack_std is None else planar(stack_std),
+        planar(dark), exposures, icrf_base, icrf_diff_base, threshold,
+        bits, compat=compat, hb=hb)
+    to_nhwc = lambda o: jnp.transpose(o, (1, 2, 0))  # noqa: E731
+    return to_nhwc(ov), None if os_ is None else to_nhwc(os_)
 
 
 @partial(jax.jit, static_argnames=("bits", "compat", "hb"))

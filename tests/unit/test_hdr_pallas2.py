@@ -185,3 +185,50 @@ def test_is_piecewise_linear_256(rng):
     raw = np.sort(rng.uniform(0, 1, (4096, 2)), axis=0)
     assert not is_piecewise_linear_256(raw)
     assert not is_piecewise_linear_256(base)  # <=256 never qualifies
+
+
+@pytest.mark.parametrize("use_std", [True, False])
+def test_lerp_bp_fused_matches_chain(rng, use_std):
+    """Fused hot-pixel-repair merge == bad_pixel_filter chain + lerp merge
+    (the one-kernel config-3 path), including image borders."""
+    from camera_linearity_tpu.ops.hdr_pallas2 import (merge_nhwc_lerp,
+                                                      merge_nhwc_lerp_bp)
+    from camera_linearity_tpu.ops.filters import bad_pixel_filter
+    import jax
+    n, h, w, c = 3, 32, 40, 2   # h divides hb=16; borders exercised
+    bits = 4096
+    val = rng.uniform(0.05, 0.95, (n, h, w, c)).astype(np.float32)
+    std = rng.uniform(0.001, 0.01, (n, h, w, c)).astype(np.float32) \
+        if use_std else None
+    # ~5% hot pixels, including corners
+    dark = (rng.uniform(0, 1, (n, h, w, c)) > 0.95).astype(np.float32)
+    dark[0, 0, 0, 0] = 1.0
+    dark[1, -1, -1, -1] = 1.0
+    exposures = np.array([0.002, 0.004, 0.008], np.float32)
+    base, diff_base, _, _ = _interp_tables(rng, bits, c)
+    thr = jnp.asarray(0.5, jnp.float32)
+
+    pv, ps = merge_nhwc_lerp_bp(
+        jnp.asarray(val), None if std is None else jnp.asarray(std),
+        jnp.asarray(dark), jnp.asarray(exposures), jnp.asarray(base),
+        jnp.asarray(diff_base) if use_std else None, thr, bits=bits)
+
+    if use_std:
+        fv, fs = jax.vmap(lambda v, s, d: bad_pixel_filter(
+            v, s, d, thr, 3))(jnp.asarray(val), jnp.asarray(std),
+                              jnp.asarray(dark))
+    else:
+        fv = jax.vmap(lambda v, d: bad_pixel_filter(
+            v, None, d, thr, 3)[0])(jnp.asarray(val), jnp.asarray(dark))
+        fs = None
+    jv, js = merge_nhwc_lerp(fv, fs, jnp.asarray(exposures),
+                             jnp.asarray(base),
+                             jnp.asarray(diff_base) if use_std else None,
+                             bits=bits)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=1e-6,
+                               atol=1e-7)
+    if use_std:
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(js),
+                                   rtol=1e-5, atol=1e-7)
+    else:
+        assert ps is None
