@@ -266,15 +266,20 @@ def merge_corrected(stack_val: Array, stack_std: Optional[Array],
     round-trip for the whole chain.
     """
     from .filters import bad_pixel_filter, flat_field_correction
-    if (icrf_base is not None and icrf.shape[0] > 256
-            and jax.default_backend() == "tpu" and kernel_size == 3
+    # one-kernel path: hot-pixel repair fused as the merge prologue.
+    # >8-bit tables need their base curves; a 256-entry table IS its own
+    # base (the lerp degenerates to the exact lookup: pos = idx, t = 0).
+    base, diff_b = icrf_base, icrf_diff_base
+    if base is None and icrf.shape[0] == 256:
+        base, diff_b = icrf, icrf_diff
+    if (base is not None and jax.default_backend() == "tpu"
+            and kernel_size == 3
             and not jnp.issubdtype(stack_val.dtype, jnp.integer)
             and stack_val.shape[1] % 16 == 0):
-        # one-kernel path: hot-pixel repair fused as the merge prologue
         from .hdr_pallas2 import merge_nhwc_lerp_bp
         hdr_val, hdr_std = merge_nhwc_lerp_bp(
-            stack_val, stack_std, dark_stack, exposures, icrf_base,
-            None if stack_std is None else icrf_diff_base,
+            stack_val, stack_std, dark_stack, exposures, base,
+            None if stack_std is None else diff_b,
             dark_threshold, bits=icrf.shape[0], compat=compat)
         if flat_val is not None:
             hdr_val, hdr_std = flat_field_correction(

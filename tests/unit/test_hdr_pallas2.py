@@ -232,3 +232,35 @@ def test_lerp_bp_fused_matches_chain(rng, use_std):
                                    rtol=1e-5, atol=1e-7)
     else:
         assert ps is None
+
+
+def test_lerp_bp_256_degenerates_to_exact_lookup(rng):
+    """With a 256-entry table as its own base, the lerp kernel's t is
+    identically 0/1 and the fused-corrections merge equals the exact
+    8-bit kernel on the repaired stack (merge_corrected's 8-bit route)."""
+    from camera_linearity_tpu.ops.hdr_pallas2 import (merge_nhwc_fused,
+                                                      merge_nhwc_lerp_bp)
+    from camera_linearity_tpu.ops.filters import bad_pixel_filter
+    import jax
+    n, h, w, c = 3, 32, 24, 3
+    val = rng.uniform(0.05, 0.95, (n, h, w, c)).astype(np.float32)
+    std = rng.uniform(0.001, 0.01, (n, h, w, c)).astype(np.float32)
+    dark = (rng.uniform(0, 1, (n, h, w, c)) > 0.9).astype(np.float32)
+    exposures = np.array([0.002, 0.004, 0.008], np.float32)
+    icrf = np.sort(rng.uniform(0, 1, (256, c)), axis=0).astype(np.float32)
+    icrf_diff = np.gradient(icrf.astype(np.float64), 2 / 255,
+                            axis=0).astype(np.float32)
+    thr = jnp.asarray(0.5, jnp.float32)
+
+    pv, ps = merge_nhwc_lerp_bp(
+        jnp.asarray(val), jnp.asarray(std), jnp.asarray(dark),
+        jnp.asarray(exposures), jnp.asarray(icrf), jnp.asarray(icrf_diff),
+        thr, bits=256)
+    fv, fs = jax.vmap(lambda v, s, d: bad_pixel_filter(v, s, d, thr, 3))(
+        jnp.asarray(val), jnp.asarray(std), jnp.asarray(dark))
+    jv, js = merge_nhwc_fused(fv, fs, jnp.asarray(exposures),
+                              jnp.asarray(icrf), jnp.asarray(icrf_diff))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=5e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(js), rtol=5e-5,
+                               atol=1e-7)
