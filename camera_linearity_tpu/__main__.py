@@ -35,12 +35,39 @@ def _load_icrf(path, cfg):
     return jnp.asarray(icrf), jnp.asarray(icrf_diff)
 
 
+def _base_path(icrf_path) -> Path:
+    p = Path(icrf_path)
+    return p.with_name(p.stem + "_base" + p.suffix)
+
+
+def _load_icrf_base(path):
+    """The datapoints-resolution solved curve saved alongside the ICRF by
+    ``calibrate`` (``<name>_base.txt``), if present: feeding it to the
+    merge selects the piecewise-linear kernel at >8-bit depths.  The
+    uncertainty derivative is the interpolant of the base gradient — a
+    smoothed, resolution-independent estimator of the same quantity."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .utils import io
+    bp = _base_path(path)
+    if not bp.exists():
+        return None, None
+    base = io.read_txt_to_array(bp)
+    diff_base = np.gradient(base, 2.0 / (base.shape[0] - 1), axis=0)
+    return jnp.asarray(base, jnp.float32), \
+        jnp.asarray(diff_base, jnp.float32)
+
+
 def cmd_merge(args) -> int:
     from .models.exposure_series import ExposureSeries
     from .utils.observability import get_logger, timed
     log = get_logger()
     cfg = _load_config(args)
     icrf, icrf_diff = _load_icrf(args.icrf, cfg)
+    base, diff_base = _load_icrf_base(args.icrf)
+    if base is not None:
+        log.info("using base curves from %s (fast >8-bit merge path)",
+                 _base_path(args.icrf).name)
     series_list = ExposureSeries.from_dir_path(Path(args.images), config=cfg)
     log.info("found %d exposure series", len(series_list))
     for series in series_list:
@@ -51,7 +78,8 @@ def cmd_merge(args) -> int:
                    log):
             hdr = series.process_HDR_image(
                 ICRF=icrf, ICRF_diff=icrf_diff, use_std=args.std,
-                apply_flat_field=not args.no_flat)
+                apply_flat_field=not args.no_flat,
+                ICRF_base=base, ICRF_diff_base=diff_base)
         out_dir = Path(args.out) if args.out else Path(args.images) / "hdr"
         hdr.save_64bit(out_dir / hdr.path.name, is_hdr=True)
         log.info("wrote %s", out_dir / hdr.path.name)
@@ -94,18 +122,22 @@ def cmd_calibrate(args) -> int:
     log = get_logger()
     cfg = _load_config(args)
     with timed("calibration", log):
-        icrf, e0, e1, ratio = cal.calibration(
+        icrf, e0, e1, ratio, base = cal.calibration(
             args.lower, args.upper, data_spacing=args.spacing,
             use_std=args.std, image_path=Path(args.images),
             rng_seed=args.seed, config=cfg, maxiter=args.maxiter,
             checkpoint_path=args.checkpoint,
-            checkpoint_every=100 if args.checkpoint else 0)
+            checkpoint_every=100 if args.checkpoint else 0,
+            return_base=True)
     log.info("initial energies: %s", e0)
     log.info("final energies:   %s", e1)
     out = args.out or (Path(cfg.data_path or ".")
                        / (cfg.icrf_calibrated_file or "ICRF_calibrated.txt"))
     io.save_txt(out, icrf)
-    log.info("wrote %s", out)
+    # the datapoints-resolution solved curve rides along: merge auto-loads
+    # it to select the piecewise-linear kernel at >8-bit depths
+    io.save_txt(_base_path(out), base)
+    log.info("wrote %s (+ %s)", out, _base_path(out).name)
     return 0
 
 

@@ -92,6 +92,11 @@ mean ICRFs = mean_b.txt,mean_g.txt,mean_r.txt
     solved = np.loadtxt(out_file)
     assert solved.shape == (256, 3)
     assert np.all(np.diff(solved, axis=0) >= -1e-9)
+    # the datapoints-resolution base curve rides along for the merge's
+    # piecewise-linear fast path
+    base = np.loadtxt(tmp_path / "icrf_solved_base.txt")
+    assert base.shape == (256, 3)
+    np.testing.assert_allclose(base[0], 0.0, atol=1e-12)
 
 
 def test_cli_dorf(tmp_path):
