@@ -229,3 +229,25 @@ def test_prefetch_order_and_errors():
     next(gen)
     with pytest.raises(RuntimeError, match="decode failed"):
         next(gen)
+
+
+def test_welford_out_param_both_backends(avi):
+    """out= writes the statistics into caller-provided stack slices on
+    both backends (the videos_to_stacks fast path)."""
+    path, decoded = avi
+    h, w, c = decoded.shape[1:]
+    ref = video.welford_algorithm(path, use_std=True, backend="host",
+                                  dtype=np.float32)
+    for backend in ("host", "device"):
+        stack_v = np.zeros((2, h, w, c), np.float32)
+        stack_s = np.zeros((2, h, w, c), np.float32)
+        out = video.welford_algorithm(path, use_std=True, backend=backend,
+                                      dtype=np.float32,
+                                      out=(stack_v[1], stack_s[1]))
+        assert out["mean"].base is stack_v
+        assert not stack_v[0].any()
+        rtol = 0 if backend == "host" else 1e-5
+        np.testing.assert_allclose(stack_v[1], ref["mean"], rtol=rtol,
+                                   atol=1e-6)
+        np.testing.assert_allclose(stack_s[1], ref["std"], rtol=rtol,
+                                   atol=1e-6)
