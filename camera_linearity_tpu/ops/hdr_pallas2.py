@@ -58,12 +58,10 @@ __all__ = ["merge_nhwc_fused", "merge_planar_fused", "pack_tables",
 # (LO/8, 8) split in stage-2 so the select stays cheap on the VPU.
 _RADIX = {256: (16, 16), 4096: (64, 64)}
 
-# cells for the piecewise-linear (lerp) formulation: any table whose size
-# is a multiple of 256 and whose entries lie on the linear interpolant of
-# its 256-cell grid (true of the reference's >8-bit ICRFs, which are
-# np.interp'd up from DATAPOINTS=256 solved points —
+# The piecewise-linear (lerp) kernels below take 256-point base curves
+# directly (the reference's >8-bit ICRFs are np.interp'd up from
+# DATAPOINTS=256 solved points —
 # reference: modules/ICRF_calibration_exposure.py:204-216,398-402).
-_LERP_CELLS = 256
 
 
 def pack_tables(icrf: Array, icrf_diff: Array) -> Array:

@@ -145,3 +145,37 @@ def test_extract_series(rng):
     series = ExposureSeries(input_image_sets=[_img("5ms BF a 50x.tif", val)])
     out = series.extract([1])
     assert out.input_image_sets[0].val.shape == (8, 8, 1)
+
+
+def test_process_hdr_image_with_base_curves(rng, ftype):
+    """Model-level base-curve plumbing: on non-TPU backends the expanded
+    tables drive the merge, so the result equals the plain call."""
+    cfg = CameraConfig(compat_mode="corrected", bit_depth=12)
+    n, h, w, c = 3, 16, 16, 3
+    stack_val = rng.uniform(0.05, 0.95, (n, h, w, c)).astype(ftype)
+    stack_std = rng.uniform(0.001, 0.01, (n, h, w, c)).astype(ftype)
+    base = np.sort(rng.uniform(0, 1, (256, c)), axis=0)
+    base[0], base[-1] = 0.0, 1.0
+    diff_base = np.gradient(base, 2 / 255, axis=0)
+    x, xb = np.arange(4096) / 4095.0, np.arange(256) / 255.0
+    icrf = np.stack([np.interp(x, xb, base[:, ch]) for ch in range(c)], 1)
+    icrf_diff = np.stack(
+        [np.interp(x, xb, diff_base[:, ch]) for ch in range(c)], 1)
+
+    def run(**kw):
+        sets = [_img(f"{ms}ms BF a 50x.tif", stack_val[i], stack_std[i])
+                for i, ms in enumerate([2, 4, 8])]
+        for s in sets:
+            s.config = cfg
+        series = ExposureSeries(input_image_sets=sets, config=cfg)
+        return series.process_HDR_image(
+            ICRF=jnp.asarray(icrf), ICRF_diff=jnp.asarray(icrf_diff),
+            list_of_dark_fields=[], apply_flat_field=False, **kw)
+
+    plain = run()
+    with_base = run(ICRF_base=jnp.asarray(base),
+                    ICRF_diff_base=jnp.asarray(diff_base))
+    np.testing.assert_allclose(np.asarray(with_base.measurand.val),
+                               np.asarray(plain.measurand.val), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(with_base.measurand.std),
+                               np.asarray(plain.measurand.std), rtol=1e-12)
