@@ -338,9 +338,10 @@ def differential_evolution_batched(energy_fn: Callable,
 
     # --- resume or fresh start ----------------------------------------
     from ..utils.checkpoint import DECheckpoint
-    if checkpoint_path is not None and DECheckpoint.exists(checkpoint_path):
-        pop_r, energies_r, keys_r, nit_r, done_r = DECheckpoint.load(
-            checkpoint_path)
+    resumed = DECheckpoint.try_load(checkpoint_path) \
+        if checkpoint_path is not None else None
+    if resumed is not None:
+        pop_r, energies_r, keys_r, nit_r, done_r = resumed
         state = (pop_r.astype(dtype), energies_r.astype(dtype), keys_r,
                  jnp.asarray(int(nit_r)), done_r,
                  jnp.full(num_channels, maxiter))

@@ -68,3 +68,28 @@ class DECheckpoint:
     @staticmethod
     def exists(path: str | Path) -> bool:
         return Path(path).exists()
+
+    @classmethod
+    def try_load(cls, path: str | Path):
+        """Load a checkpoint, or None when absent OR unreadable.
+
+        A preempted process can die mid-save, leaving a partial directory
+        that ``exists()`` reports as present; resuming must then degrade
+        to a fresh start rather than crash — that fallback IS the
+        failure-recovery behavior the checkpoint feature exists for.
+        Structural problems (missing fields, wrong dtypes) are treated
+        the same way and logged.
+        """
+        if not cls.exists(path):
+            return None
+        try:
+            state = cls.load(path)
+            if state[0].ndim != 3 or state[1].shape != state[0].shape[:2]:
+                raise ValueError("checkpoint field shapes inconsistent")
+            return state
+        except Exception as exc:  # noqa: BLE001 — any corruption -> fresh
+            from .observability import get_logger
+            get_logger().warning(
+                "checkpoint at %s unreadable (%s: %s); starting fresh",
+                path, type(exc).__name__, str(exc)[:200])
+            return None

@@ -50,3 +50,22 @@ def test_resume_from_checkpoint(tmp_path):
     plain, _ = _solve(maxiter=60)
     np.testing.assert_allclose(np.asarray(resumed.energy),
                                np.asarray(plain.energy), rtol=1e-10)
+
+
+def test_corrupted_checkpoint_degrades_to_fresh_start(tmp_path):
+    """A partial/corrupted checkpoint directory (e.g. the process died
+    mid-save) must not crash the resume: the solver logs and starts
+    fresh, producing the same result as an uncheckpointed run."""
+    ckpt_dir = tmp_path / "de"
+    _solve(checkpoint_path=ckpt_dir, checkpoint_every=20, maxiter=40)
+    assert DECheckpoint.exists(ckpt_dir)
+    # corrupt: remove every regular file inside the checkpoint tree
+    for p in sorted(ckpt_dir.rglob("*"), reverse=True):
+        if p.is_file():
+            p.unlink()
+    assert DECheckpoint.try_load(ckpt_dir) is None
+    recovered, _ = _solve(checkpoint_path=ckpt_dir, checkpoint_every=0,
+                          maxiter=60)
+    plain, _ = _solve(maxiter=60)
+    np.testing.assert_allclose(np.asarray(recovered.x),
+                               np.asarray(plain.x), rtol=1e-12)
