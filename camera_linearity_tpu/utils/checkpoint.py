@@ -13,7 +13,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any
 
-import jax
 import numpy as np
 
 __all__ = ["save_pytree", "load_pytree", "DECheckpoint"]
