@@ -53,8 +53,18 @@ def bench_config1():
     exposures = jnp.asarray(0.001 * 2.0 ** np.arange(n), jnp.float32)
     icrf, icrf_diff = _icrf(rng, 256, c)
     dt = _time(lambda: hdr.merge_hdr(val, None, exposures, icrf, icrf_diff))
+    # A single 0.26 MP merge is dispatch-bound (~8 ms tunnel round-trip);
+    # a batch of K such stacks in one call shows the chip's actual
+    # capability at this shape (vmap folds the batch into the kernel grid)
+    k = 32
+    batch = jnp.asarray(rng.uniform(0.01, 0.99, (k, n, h, w, c)),
+                        jnp.float32)
+    dtb = _time(lambda: hdr.merge_batch(batch, None, exposures, icrf,
+                                        icrf_diff))
     print(json.dumps({"metric": "config1_merge_gray_nostd", "unit": "MP/s",
-                      "value": round(h * w / 1e6 / dt, 2)}))
+                      "value": round(h * w / 1e6 / dt, 2),
+                      "value_batched": round(k * h * w / 1e6 / dtb, 2),
+                      "batched_stacks": k}))
 
 
 def bench_config3():

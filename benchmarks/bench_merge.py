@@ -37,8 +37,7 @@ def bench(fn, args, iters=20, trials=3):
 def main():
     import jax.numpy as jnp
     from camera_linearity_tpu.ops import hdr
-    from camera_linearity_tpu.ops.hdr_pallas import (
-        merge_stack_pallas_cfirst)
+    from camera_linearity_tpu.ops.hdr_pallas2 import merge_nhwc_fused
 
     rng = np.random.default_rng(0)
     results = []
@@ -70,28 +69,20 @@ def main():
     results.append({"config": "2_rgb_1920x1200_std",
                     "value": round(h * w / 1e6 / t, 1), "unit": "MP/s"})
 
-    # channel-first kernel fast path (same data as config 2)
+    # v2 planar kernel directly (same data as config 2) — no dispatch
     p = h * w
-    svc = jnp.asarray(np.asarray(sv).reshape(n, p, c).transpose(2, 0, 1)
-                      .reshape(c, n, 1, p))
-    ssc = jnp.asarray(np.asarray(ss).reshape(n, p, c).transpose(2, 0, 1)
-                      .reshape(c, n, 1, p))
-    t = bench(lambda *a: merge_stack_pallas_cfirst(*a),
-              (svc, ssc, ex, icrf, icrf_diff))
-    results.append({"config": "2_cfirst_kernel",
+    t = bench(lambda *a: merge_nhwc_fused(*a, compat="corrected"),
+              (sv, ss, ex, icrf, icrf_diff))
+    results.append({"config": "2_v2_kernel_direct",
                     "value": round(p / 1e6 / t, 1), "unit": "MP/s"})
 
-    # config 5 merge stage: batch of 4 scenes at 1920x1200.  Scenes fold
-    # into the kernel's channel grid axis ((B*C, N, 1, P)) — the merge
-    # treats channels independently, so a batch IS extra channels.
+    # config 5 merge stage: batch of 4 scenes at 1920x1200 — vmap folds
+    # the batch into an extra kernel grid axis (one launch).
     b = 4
-    bvc = jnp.concatenate([svc] * b, axis=0)
-    bsc = jnp.concatenate([ssc] * b, axis=0)
-    icrf_b = jnp.concatenate([icrf] * b, axis=1)
-    icrf_diff_b = jnp.concatenate([icrf_diff] * b, axis=1)
-    t = bench(lambda *a: merge_stack_pallas_cfirst(*a),
-              (bvc, bsc, ex, icrf_b, icrf_diff_b))
-    results.append({"config": "5_batch4_scenes_cfirst",
+    bv = jnp.stack([sv] * b)
+    bs = jnp.stack([ss] * b)
+    t = bench(lambda *a: hdr.merge_batch(*a), (bv, bs, ex, icrf, icrf_diff))
+    results.append({"config": "5_batch4_scenes_vmap",
                     "value": round(b * p / 1e6 / t, 1), "unit": "MP/s"})
 
     for r in results:

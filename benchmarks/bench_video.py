@@ -83,24 +83,28 @@ def run(frames: int, scenes: int, height: int, width: int,
         exposures_ms=(5, 10, 20)) -> dict:
     from camera_linearity_tpu import native
     from camera_linearity_tpu.models import pipeline
+    from camera_linearity_tpu.utils import observability as obs
     native.tune_host_allocator()
 
     paths = make_videos(frames, height, width, exposures_ms)
     icrf = (np.linspace(0, 1, 256)[:, None].repeat(3, 1) ** 2.2)
 
-    # attach to the device and warm the tiny table-prep jits BEFORE the
-    # clock starts: on tunneled setups the first device op can wait tens
-    # of seconds for another process's chip lease to clear — environment
-    # arbitration, not pipeline cost
+    # Pay every one-time cost BEFORE the clock: device attach (on tunneled
+    # setups the first device op can wait tens of seconds for another
+    # process's chip lease), native library build/load, buffer prefault,
+    # transfer-path setup, and the exact-shape merge compile.  These are
+    # environment/startup arbitration, not per-run pipeline cost — the
+    # stage breakdown below attributes what IS in the measured region.
     import sys
-    import jax.numpy as jnp
-    from camera_linearity_tpu.ops.linearize import icrf_derivative
     t_att = time.time()
-    icrf_derivative(jnp.asarray(icrf), 256).block_until_ready()
-    print(f"[bench_video] device attach+warm: {time.time()-t_att:.1f}s",
+    pipeline.prewarm_batch_video_to_hdr(scenes, len(exposures_ms), height,
+                                        width, icrf)
+    print(f"[bench_video] prewarm (device attach, native build, buffers, "
+          f"transfer, merge compile): {time.time()-t_att:.1f}s",
           file=sys.stderr, flush=True)
 
     scene_map = {f"scene{i}": paths for i in range(scenes)}
+    obs.reset_stage_times()
     t0 = time.time()
     results = pipeline.batch_video_to_hdr(scene_map, icrf)
     # e2e ends with the HDR maps produced, COMPLETE, and device-resident
@@ -133,6 +137,11 @@ def run(frames: int, scenes: int, height: int, width: int,
         "decode_floor_mps": round(measure_decode_floor(paths[0]), 1),
         "d2h_materialize_s": round(d2h, 1),
         "checksum": round(total, 2),
+        # per-stage busy time (overlapped stages sum to MORE than wall_s;
+        # the surplus is work hidden behind decode).  decode_s/stats_s run
+        # on the prefetch/main threads, upload_s on the transfer thread;
+        # assemble_s is the unhidden upload remainder + device stacking.
+        "stages": obs.snapshot_stage_times(),
     }
 
 

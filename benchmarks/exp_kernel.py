@@ -238,15 +238,6 @@ def run(names):
     vcf, scf = cfirst(val), cfirst(std)
     res = {}
 
-    if "base" in names:
-        from camera_linearity_tpu.ops.hdr_pallas import (
-            merge_stack_pallas, merge_stack_pallas_cfirst)
-        res["base_nhwc"] = timeit(
-            partial(merge_stack_pallas, compat="corrected"),
-            val, std, t, icrf, icrf_diff)
-        res["base_cfirst"] = timeit(
-            partial(merge_stack_pallas_cfirst, compat="corrected"),
-            vcf, scf, t, icrf, icrf_diff)
     if "dma" in names:
         res["ablate_dma"] = timeit(ab_dma, vcf, scf)
     if "math" in names:

@@ -55,12 +55,25 @@ class DEResult:
 
 
 def sobol_init_population(num_members: int, num_params: int,
-                          seed: int) -> np.ndarray:
-    """Sobol' sequence init in the normalized [0,1]^D space, matching
-    SciPy's ``init='sobol'`` (qmc.Sobol sampler)."""
+                          seed) -> np.ndarray:
+    """Sobol' sequence init in the normalized [0,1]^D space, bit-exact with
+    SciPy's ``init='sobol'`` (``init_population_qmc``: ``qmc.Sobol(d,
+    seed=rng).random(n)``; reference driver
+    ICRF_calibration_exposure.py:357-370 with ``seed=<int>``).
+
+    Two fidelity details: SciPy seeds the sampler with the solver's
+    ``RandomState`` (``check_random_state(int)``), not the raw int — an int
+    seed here goes through the same conversion; and drawing the next
+    power-of-two block then truncating yields the identical point set to
+    ``random(n)`` (Sobol' points are a deterministic prefix) without
+    tripping the balance-properties UserWarning on every run.
+    """
     from scipy.stats import qmc
-    sampler = qmc.Sobol(d=num_params, bits=30, seed=seed)
-    return sampler.random(num_members)
+    rng = np.random.RandomState(seed) if isinstance(seed, (int, np.integer)) \
+        else seed
+    sampler = qmc.Sobol(d=num_params, seed=rng)
+    m = max(1, int(np.ceil(np.log2(num_members))))
+    return sampler.random_base2(m)[:num_members]
 
 
 def _evolve_population(key: Array, pop: Array, energies: Array,

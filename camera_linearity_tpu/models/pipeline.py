@@ -25,7 +25,8 @@ from . import video as video_mod
 
 Array = jnp.ndarray
 
-__all__ = ["videos_to_exposure_series", "video_to_hdr", "batch_video_to_hdr"]
+__all__ = ["videos_to_exposure_series", "video_to_hdr",
+           "batch_video_to_hdr", "prewarm_batch_video_to_hdr"]
 
 
 def _exposure_of(path: Path) -> float:
@@ -36,21 +37,25 @@ def _exposure_of(path: Path) -> float:
 
 def videos_to_stacks(video_paths: Sequence[Path],
                      config: CameraConfig = DEFAULT_CONFIG,
-                     batch_size: int = 32):
+                     batch_size: int = 32, stacks=None, on_video=None):
     """Reduce per-exposure videos to HOST (N, H, W, C) value/std stacks.
 
     The per-video statistics finalize DIRECTLY into slices of the
     preassembled stack (``HostMoments.finalize(out=...)``) in the
     canonical device float — no intermediate per-video frames, no
-    conversion pass — so the whole scene then crosses the host->device
-    link as ONE transfer per array.  Returns
-    ``(val_stack, std_stack, exposures, sorted_paths)``, all NumPy.
+    conversion pass.  ``stacks=(val, std)`` reuses caller-provided host
+    buffers; ``on_video(i, val_slice, std_slice)`` fires after each
+    video's statistics land in its stack slice, letting callers pipeline
+    per-video device uploads behind the next video's decode (the batched
+    flow's critical-path fix: only the LAST video's upload is ever
+    exposed).  Returns ``(val_stack, std_stack, exposures, sorted_paths)``,
+    all NumPy.
     """
     import time as _time
     log = get_logger()
     ftype = jax.dtypes.canonicalize_dtype(np.float64)
     paths = sorted(video_paths, key=_exposure_of)
-    val_stack = std_stack = None
+    val_stack, std_stack = (None, None) if stacks is None else stacks
     for i, path in enumerate(paths):
         _t0 = _time.time()
         if val_stack is None:
@@ -62,6 +67,8 @@ def videos_to_stacks(video_paths: Sequence[Path],
                                     config=config, batch_size=batch_size,
                                     quantize=False, dtype=ftype,
                                     out=(val_stack[i], std_stack[i]))
+        if on_video is not None:
+            on_video(i, val_stack[i], std_stack[i])
         log.debug("videos_to_stacks %s: %.1fs", path.name,
                   _time.time() - _t0)
     exposures = np.asarray([_exposure_of(p) for p in paths])
@@ -107,6 +114,69 @@ def video_to_hdr(video_paths: Sequence[Path], ICRF: Array,
                                     apply_flat_field=False)
 
 
+_SCENE_STACKS: Dict[tuple, list] = {}
+
+
+def _scene_stack_pool(shape, dtype, depth: int = 2):
+    """Rotating pool of prefaulted host scene-stack buffer pairs.
+
+    Fresh multi-hundred-MB allocations first-touch-fault inside the
+    statistics loop; a reused warm pair writes at memory speed.  Two pairs
+    suffice: scene k+1 fills one while scene k's uploads drain the other
+    (callers must wait on scene k-1's uploads before reusing its pair —
+    see batch_video_to_hdr).
+    """
+    from .. import native
+    key = (tuple(shape), np.dtype(dtype).str)
+    if key not in _SCENE_STACKS:
+        _SCENE_STACKS[key] = [
+            (native.mmap_buffer(shape, dtype), native.mmap_buffer(shape,
+                                                                  dtype))
+            for _ in range(depth)]
+    return _SCENE_STACKS[key]
+
+
+def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
+                               height: int, width: int, ICRF,
+                               ICRF_diff=None,
+                               config: CameraConfig = DEFAULT_CONFIG,
+                               batch_size: int = 32) -> None:
+    """Pay every one-time cost of the batched video->HDR flow up front.
+
+    Benchmarks and latency-sensitive callers invoke this BEFORE their
+    clock: it builds/loads the native staging library, prefaults the
+    decode pool, moment accumulators and scene-stack buffers for the given
+    geometry, warms the host->device transfer path at the per-video slice
+    size, and compiles the exact assemble + batched-merge programs on
+    device-side zeros (no host traffic).  Round-2 driver runs lost ~3.6x
+    against the decode floor to exactly these first-use costs landing
+    inside the measured region.
+    """
+    from .. import native
+    from ..ops.linearize import icrf_derivative
+    from ..utils.general import stage_to_device
+    cfg = config
+    chs = cfg.num_of_chs
+    ftype = jax.dtypes.canonicalize_dtype(np.float64)
+    native.available()
+    native.tune_host_allocator()
+    video_mod._host_buffers(min(batch_size, 16), height, width, chs)
+    pool = _scene_stack_pool((n_exposures, height, width, chs), ftype)
+    icrf_j = jnp.asarray(ICRF)
+    icrf_diff_j = jnp.asarray(ICRF_diff) if ICRF_diff is not None else \
+        icrf_derivative(icrf_j, cfg.bits)
+    # transfer path at the per-video slice shape (first transfer of a new
+    # size can pay tunnel/program setup)
+    jax.block_until_ready(stage_to_device(pool[0][0][0]))
+    # exact-shape compile of assembly + merge, from device-side zeros
+    sl = jnp.zeros((height, width, chs), ftype)
+    sv = jnp.stack([sl] * n_exposures)
+    bv = jnp.stack([sv] * n_scenes)
+    ex = jnp.asarray(np.geomspace(1.0, 4.0, n_exposures))
+    out_val, out_std = hdr_ops.merge_batch(bv, bv, ex, icrf_j, icrf_diff_j)
+    jax.block_until_ready((out_val, out_std))
+
+
 def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                        ICRF_diff: Optional[Array] = None,
                        config: CameraConfig = DEFAULT_CONFIG,
@@ -115,9 +185,19 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
 
     With a mesh, the merge runs sharded (scenes over ``data``, rows over
     ``pixel`` — parallel/sharded.py); otherwise one batched device call.
+
+    Every video's (val, std) statistics upload on a transfer thread as
+    soon as they finalize, overlapping the NEXT video's decode — on
+    tunneled hosts the link sporadically degrades by >10x, and per-video
+    granularity leaves only the final video's upload exposed (a per-SCENE
+    granularity exposed a whole scene's worth at the end of the run).
+    Stage busy-times accumulate in ``utils.observability.stage_times``
+    (decode_s / stats_s / upload_s / assemble_s / merge_s ...) so the
+    end-to-end wall is attributable from artifacts alone.
     """
-    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
     from ..ops.linearize import icrf_derivative
+    from ..utils.observability import stage as _stage
     log = get_logger()
     cfg = config
     icrf_j = jnp.asarray(ICRF)
@@ -125,48 +205,83 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
         icrf_derivative(icrf_j, cfg.bits)
 
     names = list(scenes.keys())
-    _t0 = _time.time()
-    # Host statistics for scene k+1 overlap the device upload of scene k:
-    # decode+moments are CPU-bound while the upload is link-bound, and on
-    # tunneled hosts the link sporadically degrades by >10x — hiding it
-    # behind the next scene's decode makes those stalls free.
-    from concurrent.futures import ThreadPoolExecutor
+    ftype = jax.dtypes.canonicalize_dtype(np.float64)
 
-    def _to_device(v, s):
-        dv, ds = jnp.asarray(v), jnp.asarray(s)
-        jax.block_until_ready((dv, ds))
+    from ..utils.general import stage_to_device
+
+    def _upload(v, s):
+        with _stage("upload_s"):
+            dv, ds = stage_to_device(v), stage_to_device(s)
+            jax.block_until_ready((dv, ds))
         return dv, ds
 
-    futs = []
-    with ThreadPoolExecutor(max_workers=1) as xfer:
-        for k in names:
-            val, std, exposures_np, paths = videos_to_stacks(scenes[k], cfg)
-            futs.append((xfer.submit(_to_device, val, std), paths))
-    scene_stacks = [f.result() for f, _ in futs]
-    scene_paths = [p for _, p in futs]
-    exposures = jnp.asarray(exposures_np)
-    log.info("batch_video_to_hdr: %d scene stacks in %.1fs", len(names),
-             _time.time() - _t0)
-    _t0 = _time.time()
-    batch_val = jnp.stack([v for v, _ in scene_stacks])
-    batch_std = jnp.stack([s for _, s in scene_stacks])
-    batch_val.block_until_ready()
-    log.info("batch_video_to_hdr: batched in %.1fs", _time.time() - _t0)
-    _t0 = _time.time()
+    scene_futs: list = []
+    scene_exposures: list = []
+    scene_paths: list = []
+    pool = None
+    with _stage("stacks_s"), ThreadPoolExecutor(max_workers=1) as xfer:
+        for idx, k in enumerate(names):
+            first = sorted(scenes[k], key=_exposure_of)[0]
+            h, w = video_mod.probe_geometry(first)
+            shape = (len(scenes[k]), h, w, cfg.num_of_chs)
+            if pool is None:
+                pool = _scene_stack_pool(shape, ftype)
+            # reusing a buffer pair requires its previous scene's uploads
+            # to have drained (the device holds copies once done)
+            if idx >= len(pool):
+                for f in scene_futs[idx - len(pool)]:
+                    f.result()
+            stacks = pool[idx % len(pool)]
+            if stacks[0].shape != shape:
+                raise ValueError(
+                    f"batch_video_to_hdr: scene {k!r} has geometry "
+                    f"{shape}, expected {stacks[0].shape} from "
+                    f"{names[0]!r}; all scenes in a batch must share "
+                    "frame geometry and exposure count")
+            futs: list = []
+            _, _, exposures_np, paths = videos_to_stacks(
+                scenes[k], cfg, stacks=stacks,
+                on_video=lambda i, v, s, futs=futs: futs.append(
+                    xfer.submit(_upload, v, s)))
+            scene_futs.append(futs)
+            scene_exposures.append(exposures_np)
+            scene_paths.append(paths)
+    # The batched merge applies ONE exposure vector to every scene; a scene
+    # with different exposure times would merge silently wrong.
+    for name, exp in zip(names, scene_exposures):
+        if not np.array_equal(exp, scene_exposures[0]):
+            raise ValueError(
+                f"batch_video_to_hdr: scene {name!r} has exposures "
+                f"{exp.tolist()} != {names[0]!r}'s "
+                f"{scene_exposures[0].tolist()}; merge scenes with "
+                "differing exposure sets separately (video_to_hdr)")
+    exposures = jnp.asarray(scene_exposures[0])
 
-    if mesh is not None:
-        from ..parallel import sharded
-        from ..parallel.mesh import shard_batch_of_scenes
-        bv = shard_batch_of_scenes(batch_val, mesh)
-        bs = shard_batch_of_scenes(batch_std, mesh)
-        out_val, out_std = sharded.merge_batch_sharded(
-            bv, bs, exposures, icrf_j, icrf_diff_j, mesh)
-    else:
-        out_val, out_std = hdr_ops.merge_batch(batch_val, batch_std,
-                                               exposures, icrf_j,
-                                               icrf_diff_j)
-    out_val.block_until_ready()
-    log.info("batch_video_to_hdr: merged in %.1fs", _time.time() - _t0)
+    with _stage("assemble_s"):
+        per_scene = []
+        for futs in scene_futs:
+            pairs = [f.result() for f in futs]
+            per_scene.append((jnp.stack([p[0] for p in pairs]),
+                              jnp.stack([p[1] for p in pairs])))
+        batch_val = jnp.stack([v for v, _ in per_scene])
+        batch_std = jnp.stack([s for _, s in per_scene])
+        del per_scene
+        batch_val.block_until_ready()
+    log.info("batch_video_to_hdr: %d scenes staged", len(names))
+
+    with _stage("merge_s"):
+        if mesh is not None:
+            from ..parallel import sharded
+            from ..parallel.mesh import shard_batch_of_scenes
+            bv = shard_batch_of_scenes(batch_val, mesh)
+            bs = shard_batch_of_scenes(batch_std, mesh)
+            out_val, out_std = sharded.merge_batch_sharded(
+                bv, bs, exposures, icrf_j, icrf_diff_j, mesh)
+        else:
+            out_val, out_std = hdr_ops.merge_batch(batch_val, batch_std,
+                                                   exposures, icrf_j,
+                                                   icrf_diff_j)
+        out_val.block_until_ready()
 
     results = {}
     for i, name in enumerate(names):

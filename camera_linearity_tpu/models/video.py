@@ -100,7 +100,8 @@ def _host_buffers(batch_size: int, height: int, width: int, chs: int):
 
 
 def _frame_batches_into(file_paths: List[Path], batch_size: int,
-                        pool: List[np.ndarray]
+                        pool: List[np.ndarray],
+                        prefetch_depth: int = 0
                         ) -> Iterator[np.ndarray]:
     """Decode frames directly into a rotating pool of preallocated batch
     buffers via ``grab``+``retrieve(out)`` and yield views of them.
@@ -109,11 +110,21 @@ def _frame_batches_into(file_paths: List[Path], batch_size: int,
     class of host (first-touch page faults); reusing warm buffers makes the
     loop run at the decoder's native rate.  Safe together with ``_prefetch``
     only while ``len(pool) > depth + 1`` (depth buffers queued, one in the
-    consumer's hands, one being filled).  The consumer must be done with a
-    yielded view by the time it requests the ``len(pool)-1``-th batch after
-    it — true for synchronous host accumulation (``HostMoments.update``
-    returns only after reading the batch).
+    consumer's hands, one being filled) — callers MUST declare the prefetch
+    depth they will wrap this iterator with so the invariant is enforced at
+    wiring time.  The consumer must be done with a yielded view by the time
+    it requests the ``len(pool)-1``-th batch after it — true for synchronous
+    host accumulation (``HostMoments.update`` returns only after reading the
+    batch).
     """
+    if len(pool) <= prefetch_depth + 1:
+        raise ValueError(
+            f"decode pool of {len(pool)} buffers cannot back a prefetch "
+            f"depth of {prefetch_depth}: need len(pool) > depth + 1 "
+            "(queued buffers + consumer's view + the one being filled) or "
+            "yielded views are overwritten while still in use")
+    from ..utils.observability import stage_times
+    from time import perf_counter
     slot = 0
     filled = 0
     buf = pool[slot]
@@ -123,6 +134,7 @@ def _frame_batches_into(file_paths: List[Path], batch_size: int,
             video.release()
             raise ValueError(f"Unable to open video file at {file_path}")
         try:
+            t0 = perf_counter()
             while True:
                 if not video.grab():
                     break
@@ -134,10 +146,16 @@ def _frame_batches_into(file_paths: List[Path], batch_size: int,
                     np.copyto(dst, frame)  # codec returned its own buffer
                 filled += 1
                 if filled == batch_size:
+                    # decode busy-time only: the clock pauses across the
+                    # yield (the queue hand-off blocks when the consumer
+                    # is the bottleneck, and that wait is not decoding)
+                    stage_times.add("decode_s", perf_counter() - t0)
                     yield buf
+                    t0 = perf_counter()
                     slot = (slot + 1) % len(pool)
                     buf = pool[slot]
                     filled = 0
+            stage_times.add("decode_s", perf_counter() - t0)
         finally:
             video.release()
     if filled:
@@ -185,6 +203,14 @@ def _prepare_frames(frames_u8, icrf_dev, max_dn: int):
 
 
 _single_update = jax.jit(wf.welford_update)
+
+
+@partial(jax.jit, static_argnames=("max_dn",))
+def _single_update_lut(state, frame_dn, icrf_dev, max_dn: int):
+    """Remainder-batch path of the fused LUT+Welford update."""
+    x, _ = linearize(frame_dn.astype(jnp.int32), None, icrf_dev,
+                     max_dn=max_dn)
+    return wf.welford_update(state, x.astype(state.mean.dtype))
 
 
 def probe_geometry(video_path: Path) -> Tuple[int, int]:
@@ -250,32 +276,56 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
         backend = "host" if icrf_dev is None else "device"
 
     if backend == "host":
+        from ..utils.observability import stage as _stage
         native.tune_host_allocator()
         chs = config.num_of_chs
-        pool, bufs = _host_buffers(min(batch_size, 16), height, width, chs)
+        with _stage("buffers_s"):
+            pool, bufs = _host_buffers(min(batch_size, 16), height, width,
+                                       chs)
         acc = native.HostMoments((height, width, chs), 1.0 / max_dn,
                                  _buffers=bufs)
         for batch in _prefetch(_frame_batches_into(
-                file_paths, pool[0].shape[0], pool), depth=2):
-            acc.update(batch)
-        mean_np, std_np = acc.finalize(use_std=use_std, dtype=dtype,
-                                       out=out)
+                file_paths, pool[0].shape[0], pool, prefetch_depth=2),
+                depth=2):
+            with _stage("stats_s"):
+                acc.update(batch)
+        with _stage("finalize_s"):
+            mean_np, std_np = acc.finalize(use_std=use_std, dtype=dtype,
+                                           out=out)
+        if use_std and std_np is None and out is not None:
+            # <2 frames: no std exists — zero the caller's slice rather
+            # than leaving np.empty garbage to flow into a merge
+            out[1][...] = 0
     else:
         from ..utils.general import stage_to_device
         batches = _prefetch(_frame_batches(file_paths, batch_size))
         state = wf.welford_init((height, width, config.num_of_chs))
+        n_frames = 0
         for batch in batches:
-            frames = _prepare_frames(stage_to_device(batch), icrf_dev,
-                                     max_dn)
+            staged = stage_to_device(batch)
+            n_frames += batch.shape[0]
+            if icrf_dev is not None:
+                # LUT fused into the scan body: ONE program, uint8 input
+                # traffic, no linearized (B,H,W,C) float intermediate
+                if batch.shape[0] == batch_size:
+                    state = wf.welford_update_batch_lut(state, staged,
+                                                        icrf_dev, max_dn)
+                else:
+                    for k in range(batch.shape[0]):
+                        state = _single_update_lut(state, staged[k],
+                                                   icrf_dev, max_dn)
+                continue
+            frames = _prepare_frames(staged, None, max_dn)
             if batch.shape[0] == batch_size:
                 state = wf.welford_update_batch(state, frames)
             else:  # remainder: single-frame path, avoids a new scan compile
                 for k in range(batch.shape[0]):
                     state = _single_update(state, frames[k])
 
-        mean, std = wf.welford_finalize(state, use_std=True)
+        want_std = use_std and n_frames >= 2
+        mean, std = wf.welford_finalize(state, use_std=want_std)
         mean_np = np.asarray(mean).astype(dtype, copy=False)
-        std_np = np.asarray(std).astype(dtype, copy=False) if use_std \
+        std_np = np.asarray(std).astype(dtype, copy=False) if want_std \
             else None
         if out is not None:
             out[0][...] = mean_np
@@ -283,6 +333,8 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
             if std_np is not None:
                 out[1][...] = std_np
                 std_np = out[1]
+            elif use_std:  # <2 frames: zero the slice, not garbage
+                out[1][...] = 0
 
     if quantize:
         mean_np = np.around(mean_np * max_dn).astype(np.uint8)

@@ -273,11 +273,17 @@ class HostMoments:
         want_std = use_std and self.count >= 2
         dt = np.dtype(dtype)
         if out is not None:
+            # shape must match exactly: the native pass writes
+            # self.sum.size elements through raw pointers, so a smaller
+            # out would be a silent out-of-bounds heap write
             if out[0].dtype != dt or not out[0].flags.c_contiguous or \
+                    out[0].shape != self.sum.shape or \
                     (want_std and (out[1].dtype != dt
-                                   or not out[1].flags.c_contiguous)):
+                                   or not out[1].flags.c_contiguous
+                                   or out[1].shape != self.sum.shape)):
                 raise ValueError("finalize out= arrays must be "
-                                 f"C-contiguous {dt}")
+                                 f"C-contiguous {dt} of shape "
+                                 f"{self.sum.shape}")
         lib = _load()
         if lib is not None and dt in (np.float32, np.float64):
             fn = (lib.clt_finalize_moments_u64 if dt == np.float64

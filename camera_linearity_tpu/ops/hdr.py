@@ -6,9 +6,9 @@ sum-of-weights prologue and an accumulation loop, each a chain of NumPy ops
 ``(N, H, W, C)`` device array and both passes are fused into one jitted
 computation over the exposure axis; XLA fuses the per-exposure elementwise
 chain (weight -> LUT gather -> accumulate) into a single pass over HBM.
-ops/hdr_pallas.py provides the hand-fused Pallas kernel for the same math;
-this module is the reference-semantics jnp path used for parity and as
-fallback.
+ops/hdr_pallas2.py provides the hand-fused Pallas kernels for the same
+math; this module is the reference-semantics jnp path used for parity and
+as fallback.
 
 Weight/accumulation semantics (exposure_series.py:382-394):
 
@@ -52,7 +52,11 @@ def merge_batch(batch_val: "Array", batch_std, exposures, icrf, icrf_diff,
     Elsewhere it vmaps the jnp path.  256-point base curves select the
     piecewise-linear kernel for >8-bit tables (see merge_hdr).
     """
-    if (icrf_base is not None and icrf.shape[0] > 256
+    # the lerp kernel packs 256-point base curves only; other datapoints
+    # resolutions (config.datapoints is user-settable) fall through to the
+    # exact paths instead of tripping the kernel's pack-time assert
+    if (icrf_base is not None and icrf_base.shape[0] == 256
+            and icrf.shape[0] > 256
             and jax.default_backend() == "tpu" and use_pallas is not False):
         from .hdr_pallas2 import merge_nhwc_lerp
         bits = icrf.shape[0]
@@ -272,7 +276,8 @@ def merge_corrected(stack_val: Array, stack_std: Optional[Array],
     base, diff_b = icrf_base, icrf_diff_base
     if base is None and icrf.shape[0] == 256:
         base, diff_b = icrf, icrf_diff
-    if (base is not None and jax.default_backend() == "tpu"
+    if (base is not None and base.shape[0] == 256
+            and jax.default_backend() == "tpu"
             and kernel_size == 3
             and not jnp.issubdtype(stack_val.dtype, jnp.integer)
             and stack_val.shape[1] % 16 == 0):
@@ -330,7 +335,8 @@ def merge_hdr(stack_val: Array, stack_std: Optional[Array], exposures: Array,
     exact 4096-radix throughput.  ``icrf``/``icrf_diff`` still provide
     the expanded tables for the non-TPU fallback (and define ``bits``).
     """
-    if (icrf_base is not None and icrf.shape[0] > 256
+    if (icrf_base is not None and icrf_base.shape[0] == 256
+            and icrf.shape[0] > 256
             and jax.default_backend() == "tpu" and use_pallas is not False):
         from .hdr_pallas2 import merge_nhwc_lerp
         return merge_nhwc_lerp(

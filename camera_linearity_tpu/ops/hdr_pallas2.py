@@ -1,6 +1,6 @@
 """Fused HDR-merge Pallas kernel v2: planar, zero-relayout from NHWC.
 
-Replaces the round-1 kernel's channel-first requirement (ops/hdr_pallas.py)
+Replaces the removed round-1 kernel's channel-first requirement
 with a formulation that merges logical ``(N, H, W, C)`` stacks with no
 physical relayout and ~3x less device time, and generalizes the lookup to
 8-bit (256-entry, radix 16x16) and 12-bit (4096-entry, radix 64x8x8)

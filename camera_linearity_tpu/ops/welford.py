@@ -10,6 +10,7 @@ vmap (batch of scenes) and shard_map (spatial sharding) unchanged.
 from __future__ import annotations
 
 
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -18,7 +19,8 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 __all__ = ["WelfordState", "welford_init", "welford_update",
-           "welford_update_batch", "welford_finalize"]
+           "welford_update_batch", "welford_update_batch_lut",
+           "welford_finalize"]
 
 
 class WelfordState(NamedTuple):
@@ -53,6 +55,29 @@ def welford_update_batch(state: WelfordState, frames: Array) -> WelfordState:
     ~80s per call; XLA reuses the buffers fine without the hint."""
     return jax.lax.scan(lambda s, f: (welford_update(s, f), None),
                         state, frames)[0]
+
+
+@partial(jax.jit, static_argnames=("max_dn",))
+def welford_update_batch_lut(state: WelfordState, frames_dn: Array,
+                             icrf: Array, max_dn: int) -> WelfordState:
+    """Consume a (B, H, W, C) integer-DN batch, linearizing each frame
+    through the ICRF LUT INSIDE the scan body (reference applies the LUT
+    per frame before its update, video_processing.py:200-208).
+
+    One jit for lookup + update means the linearized float frames are
+    never materialized as a (B, H, W, C) HBM intermediate between two
+    programs — each scan step's one-hot MXU lookup feeds the VPU update
+    directly — and the batch crosses host->device as uint8 (4x less link
+    traffic than staging pre-linearized floats), which is the binding
+    constraint on tunneled hosts.
+    """
+    from .linearize import linearize
+
+    def step(s, f):
+        x, _ = linearize(f.astype(jnp.int32), None, icrf, max_dn=max_dn)
+        return welford_update(s, x.astype(s.mean.dtype)), None
+
+    return jax.lax.scan(step, state, frames_dn)[0]
 
 
 def welford_finalize(state: WelfordState, use_std: bool = True

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "data_pixel_mesh", "shard_scene_stack",
@@ -45,7 +44,6 @@ def data_pixel_mesh(n_data: Optional[int] = None,
     n = len(jax.devices())
     if n_data is None and n_pixel is None:
         # favor the pixel axis; scenes may be few
-        n_pixel = int(np.gcd(n, n))
         n_data, n_pixel = 1, n
     elif n_data is None:
         n_data = n // n_pixel

@@ -52,10 +52,18 @@ def merge_batch_sharded(batch_val: Array, batch_std: Optional[Array],
     """
     in_spec = P("data", None, "pixel", None, None)
     out_spec = P("data", "pixel", None, None)
-    base_specs = () if icrf_base is None else (P(), P())
-    base_args = () if icrf_base is None else (icrf_base, icrf_diff_base
-                                              if batch_std is not None
-                                              else icrf_base)
+    if icrf_base is None:
+        base_specs, base_args = (), ()
+    elif batch_std is None:
+        # value-only merges never read the diff curve — don't ship one
+        base_specs, base_args = (P(),), (icrf_base,)
+    else:
+        if icrf_diff_base is None:
+            raise ValueError("merge_batch_sharded: icrf_diff_base is "
+                             "required when batch_std is given alongside "
+                             "icrf_base (uncertainty needs the base "
+                             "derivative curve)")
+        base_specs, base_args = (P(), P()), (icrf_base, icrf_diff_base)
 
     def merge_local(bv, bs, ex, a, b, *bases):
         kb = {}

@@ -11,12 +11,14 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import threading
 import time
-from typing import Iterator, Optional
+from typing import Dict, Iterator, Optional
 
 import jax
 
-__all__ = ["get_logger", "trace", "timed"]
+__all__ = ["get_logger", "trace", "timed", "stage", "stage_times",
+           "reset_stage_times", "snapshot_stage_times"]
 
 _FORMAT = "%(asctime)s %(name)s %(levelname)s %(message)s"
 
@@ -41,6 +43,61 @@ def trace(log_dir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class _StageTimes:
+    """Process-global per-stage wall-time accumulator.
+
+    Pipelines report how long each stage of a run actually spent working
+    (decode, statistics, upload, merge, ...) so a single end-to-end wall
+    number is attributable from the emitted artifacts alone — on hosts
+    where transfer bandwidth varies by orders of magnitude between runs,
+    an unattributed total is nearly meaningless.  Threads report
+    concurrently (decode runs on a prefetch thread), so per-stage times
+    are busy-time, not exclusive wall slices: overlapped stages sum to
+    more than the wall clock, and that surplus is the overlap working.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._times: Dict[str, float] = {}
+
+    def add(self, name: str, seconds: float) -> None:
+        with self._lock:
+            self._times[name] = self._times.get(name, 0.0) + seconds
+
+    def reset(self) -> None:
+        with self._lock:
+            self._times.clear()
+
+    def snapshot(self) -> Dict[str, float]:
+        with self._lock:
+            return dict(self._times)
+
+
+stage_times = _StageTimes()
+
+
+def reset_stage_times() -> None:
+    stage_times.reset()
+
+
+def snapshot_stage_times(round_to: int = 2) -> Dict[str, float]:
+    return {k: round(v, round_to)
+            for k, v in sorted(stage_times.snapshot().items())}
+
+
+@contextlib.contextmanager
+def stage(name: str) -> Iterator[None]:
+    """Accumulate this block's wall time under ``name`` in the
+    process-global stage recorder (no device sync — callers time host-side
+    busy work; device work should be blocked on inside the block when it
+    is the quantity being attributed)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        stage_times.add(name, time.perf_counter() - t0)
 
 
 @contextlib.contextmanager

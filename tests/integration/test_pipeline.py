@@ -78,3 +78,23 @@ def test_batch_video_to_hdr(scene_videos, tmp_path, rng):
     assert set(out.keys()) == {"a", "b"}
     np.testing.assert_allclose(np.asarray(out["a"].measurand.val),
                                np.asarray(out["b"].measurand.val))
+
+def test_batch_video_to_hdr_rejects_mismatched_exposures(scene_videos,
+                                                         tmp_path):
+    """Scenes with differing exposure sets must be rejected, not silently
+    merged with one scene's exposure vector (round-2 bug: the LAST scene's
+    exposures were applied to every scene)."""
+    import shutil
+    paths, _ = scene_videos
+    other_dir = tmp_path / "other_scene"
+    other_dir.mkdir()
+    other = []
+    # same frame content, different exposure descriptors: 4/8/20 vs 4/8/16
+    for p, ms in zip(paths, (4, 8, 20)):
+        q = other_dir / f"scene {ms}ms.avi"
+        shutil.copy(p, q)
+        other.append(q)
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
+    with pytest.raises(ValueError, match="scene 'b'.*exposure"):
+        pipeline.batch_video_to_hdr({"a": paths, "b": other},
+                                    jnp.asarray(icrf))

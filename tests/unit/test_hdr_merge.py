@@ -100,3 +100,30 @@ def test_sum_of_weights(merge_inputs):
     expect = np.sum(np.e ** (-30 * (stack_val - 0.5) ** 2), axis=0)
     np.testing.assert_allclose(np.asarray(sw), expect, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(sw2), expect ** 2, rtol=1e-12)
+
+
+def test_merge_hdr_non_256_base_falls_back(merge_inputs):
+    """A base curve at a non-256 datapoints resolution (config.datapoints
+    is user-settable) must fall through to the exact paths, not trip the
+    lerp kernel's 256-point pack assert."""
+    stack_val, stack_std, exposures, icrf, icrf_diff = merge_inputs
+    c = icrf.shape[1]
+    bits = 4096
+    x = np.linspace(0, 1, bits)
+    xb = np.linspace(0, 1, 128)
+    x256 = np.linspace(0, 1, 256)
+    base = np.stack([np.interp(xb, x256, np.asarray(icrf)[:, 0])] * c, 1)
+    icrf_hi = jnp.asarray(np.stack(
+        [np.interp(x, xb, base[:, ch]) for ch in range(c)], 1), icrf.dtype)
+    diff_hi = jnp.ones_like(icrf_hi)
+    v12 = jnp.clip(stack_val, 0, 1)
+    got_v, got_s = hdr.merge_hdr(v12, stack_std, exposures, icrf_hi,
+                                 diff_hi, icrf_base=jnp.asarray(base),
+                                 icrf_diff_base=jnp.ones_like(
+                                     jnp.asarray(base)))
+    want_v, want_s = hdr.merge_hdr(v12, stack_std, exposures, icrf_hi,
+                                   diff_hi)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-6)

@@ -151,3 +151,20 @@ def test_host_moments_finalize_dtype_and_out(rng, monkeypatch):
     native.HostMoments.finalize(acc, dtype=np.float32, out=(out_v, out_s))
     np.testing.assert_array_equal(out_v, mean32)
     np.testing.assert_array_equal(out_s, std32)
+
+
+def test_host_moments_finalize_out_shape_mismatch(rng):
+    """A smaller out= array must raise, not become an out-of-bounds write
+    through the native pass's raw pointers."""
+    frames = rng.integers(0, 256, (4, 6, 8, 3), dtype=np.uint8)
+    acc = native.HostMoments((6, 8, 3), scale=1.0 / 255)
+    acc.update(frames)
+    small = np.empty((5, 8, 3), np.float64)
+    ok = np.empty((6, 8, 3), np.float64)
+    with pytest.raises(ValueError, match="shape"):
+        acc.finalize(use_std=True, out=(small, ok.copy()))
+    with pytest.raises(ValueError, match="shape"):
+        acc.finalize(use_std=True, out=(ok.copy(), small))
+    # exact shapes still work
+    mean, std = acc.finalize(use_std=True, out=(ok, ok.copy()))
+    assert mean.shape == (6, 8, 3)

@@ -182,3 +182,20 @@ def test_merge_batch_sharded_with_base_curves(rng, mesh):
         jnp.asarray(icrf_diff), mesh, icrf_base=jnp.asarray(base))
     np.testing.assert_allclose(np.asarray(vo), np.asarray(ref_val),
                                rtol=1e-12)
+
+
+def test_merge_batch_sharded_requires_diff_base(rng, mesh):
+    """icrf_base with uncertainties but no icrf_diff_base must fail with a
+    clear error, not a None entering shard_map under a P() spec."""
+    from camera_linearity_tpu.parallel import sharded
+    bv = jnp.asarray(rng.uniform(0.1, 0.9, (2, 3, 8, 8, 3)), jnp.float32)
+    bs = jnp.asarray(rng.uniform(0.001, 0.01, (2, 3, 8, 8, 3)), jnp.float32)
+    ex = jnp.asarray([1.0, 2.0, 4.0], jnp.float32)
+    icrf = jnp.asarray(np.linspace(0, 1, 4096)[:, None].repeat(3, 1),
+                       jnp.float32)
+    diff = jnp.ones_like(icrf)
+    base = jnp.asarray(np.linspace(0, 1, 256)[:, None].repeat(3, 1),
+                       jnp.float32)
+    with pytest.raises(ValueError, match="icrf_diff_base"):
+        sharded.merge_batch_sharded(bv, bs, ex, icrf, diff, mesh,
+                                    icrf_base=base)

@@ -111,3 +111,20 @@ def test_solver_matches_or_beats_scipy_seeded():
             f"channel {c}: device energy {dev_e:.6f} vs scipy "
             f"{scipy_e[c]:.6f}, max curve diff "
             f"{np.max(np.abs(curve_dev - curve_scipy)):.4f}")
+
+
+def test_sobol_init_bit_exact_with_scipy_and_warning_free():
+    """sobol_init_population must reproduce SciPy's init_population_qmc
+    point set bit-exactly for an int seed (qmc.Sobol seeded with the
+    solver's RandomState) WITHOUT emitting the balance-properties
+    UserWarning on non-power-of-two population sizes."""
+    from scipy.stats import qmc
+    for n, d, seed in [(45, 5, 7), (15, 6, 0), (64, 4, 3)]:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            expected = qmc.Sobol(d=d,
+                                 seed=np.random.RandomState(seed)).random(n)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning -> failure
+            got = cal.sobol_init_population(n, d, seed)
+        np.testing.assert_array_equal(got, expected)

@@ -251,3 +251,47 @@ def test_welford_out_param_both_backends(avi):
                                    atol=1e-6)
         np.testing.assert_allclose(stack_s[1], ref["std"], rtol=rtol,
                                    atol=1e-6)
+
+
+def test_frame_batches_into_pool_contract():
+    """The decode pool must be declared large enough for the prefetch depth
+    it will be wrapped with — enforced at wiring time, before any decode."""
+    pool = [np.empty((4, 8, 8, 3), np.uint8) for _ in range(3)]
+    with pytest.raises(ValueError, match="prefetch"):
+        next(video._frame_batches_into([], 4, pool, prefetch_depth=2))
+    # len(pool) > depth + 1 is fine (and an empty file list yields nothing)
+    assert list(video._frame_batches_into([], 4, pool,
+                                          prefetch_depth=1)) == []
+
+
+def _write_short_video(path, frames_u8):
+    import cv2 as cv
+    h, w = frames_u8.shape[1:3]
+    writer = cv.VideoWriter(str(path), cv.VideoWriter_fourcc(*"FFV1"), 10,
+                            (w, h))
+    for f in frames_u8:
+        writer.write(f)
+    writer.release()
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_welford_single_frame_std_zero_filled(tmp_path, rng, backend):
+    """<2 frames: no std exists — a caller-provided out slice must be
+    zeroed, never left as np.empty garbage flowing into a merge."""
+    frames = rng.integers(0, 256, (1, 16, 16, 3), dtype=np.uint8)
+    path = tmp_path / "one 5ms.avi"
+    _write_short_video(path, frames)
+    import cv2 as cv
+    cap = cv.VideoCapture(str(path))
+    ok, _ = cap.read()
+    cap.release()
+    if not ok:
+        pytest.skip("no usable video codec in this OpenCV build")
+    mean_out = np.full((16, 16, 3), np.nan, np.float32)
+    std_out = np.full((16, 16, 3), np.nan, np.float32)
+    ret = video.welford_algorithm(path, use_std=True, backend=backend,
+                                  dtype=np.float32,
+                                  out=(mean_out, std_out))
+    assert ret["std"] is None
+    assert np.isfinite(mean_out).all()
+    np.testing.assert_array_equal(std_out, 0.0)
