@@ -140,7 +140,7 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
                                height: int, width: int, ICRF,
                                ICRF_diff=None,
                                config: CameraConfig = DEFAULT_CONFIG,
-                               batch_size: int = 32) -> None:
+                               batch_size: int = 32) -> dict:
     """Pay every one-time cost of the batched video->HDR flow up front.
 
     Benchmarks and latency-sensitive callers invoke this BEFORE their
@@ -155,26 +155,44 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
     from .. import native
     from ..ops.linearize import icrf_derivative
     from ..utils.general import stage_to_device
+    from ..utils.observability import timed
+    log = get_logger()
     cfg = config
     chs = cfg.num_of_chs
     ftype = jax.dtypes.canonicalize_dtype(np.float64)
-    native.available()
-    native.tune_host_allocator()
-    video_mod._host_buffers(min(batch_size, 16), height, width, chs)
-    pool = _scene_stack_pool((n_exposures, height, width, chs), ftype)
+    with timed("prewarm: native build/load", log):
+        native.available()
+        native.tune_host_allocator()
+    with timed("prewarm: host buffer prefault", log):
+        video_mod._host_buffers(min(batch_size, 16), height, width, chs)
+        pool = _scene_stack_pool((n_exposures, height, width, chs), ftype)
     icrf_j = jnp.asarray(ICRF)
     icrf_diff_j = jnp.asarray(ICRF_diff) if ICRF_diff is not None else \
         icrf_derivative(icrf_j, cfg.bits)
     # transfer path at the per-video slice shape (first transfer of a new
-    # size can pay tunnel/program setup)
-    jax.block_until_ready(stage_to_device(pool[0][0][0]))
+    # size can pay tunnel/program setup); the SECOND probe measures the
+    # link's current steady rate — reported so a degraded-epoch run is
+    # attributable from the bench artifact alone
+    with timed("prewarm: h2d transfer", log):
+        jax.block_until_ready(stage_to_device(pool[0][0][0]))
+    import time as _time
+    t0 = _time.perf_counter()
+    jax.block_until_ready(stage_to_device(pool[0][1][0]))
+    h2d_mbps = pool[0][1][0].nbytes / 1e6 / (_time.perf_counter() - t0)
+    log.info("prewarm: h2d steady rate %.0f MB/s", h2d_mbps)
     # exact-shape compile of assembly + merge, from device-side zeros
-    sl = jnp.zeros((height, width, chs), ftype)
-    sv = jnp.stack([sl] * n_exposures)
-    bv = jnp.stack([sv] * n_scenes)
-    ex = jnp.asarray(np.geomspace(1.0, 4.0, n_exposures))
-    out_val, out_std = hdr_ops.merge_batch(bv, bv, ex, icrf_j, icrf_diff_j)
-    jax.block_until_ready((out_val, out_std))
+    with timed("prewarm: merge compile+run", log):
+        sl = jnp.zeros((height, width, chs), ftype)
+        sv = jnp.stack([sl] * n_exposures)
+        bv = jnp.stack([sv] * n_scenes)
+        ex = jnp.asarray(np.geomspace(1.0, 4.0, n_exposures))
+        out_val, out_std = hdr_ops.merge_batch(bv, bv, ex, icrf_j,
+                                               icrf_diff_j)
+        jax.block_until_ready((out_val, out_std))
+        # remote transports under-sync on block_until_ready; a scalar
+        # fetch proves the kernel actually ran
+        float(jnp.sum(out_val[0, 0, 0]))
+    return {"h2d_mbps": round(h2d_mbps, 1)}
 
 
 def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
@@ -219,7 +237,9 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     scene_exposures: list = []
     scene_paths: list = []
     pool = None
-    with _stage("stacks_s"), ThreadPoolExecutor(max_workers=1) as xfer:
+    # two transfer workers: the tunnel's degraded epochs throttle per
+    # stream, and a second in-flight upload fills the first one's stalls
+    with _stage("stacks_s"), ThreadPoolExecutor(max_workers=2) as xfer:
         for idx, k in enumerate(names):
             first = sorted(scenes[k], key=_exposure_of)[0]
             h, w = video_mod.probe_geometry(first)
