@@ -428,6 +428,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Every grid cell writes a distinct output block (no cross-cell carries),
+# so all grid dimensions are semantically parallel.  Declaring them lets
+# Mosaic overlap each cell's block DMA with the previous cell's compute —
+# measured on the plateau harness (benchmarks/exp_plateau.py): the pure
+# copy floor at hb=16 drops 2.65 -> 1.97 ms with hints, and the full
+# kernel overlaps its ~2 ms of compute into the ~2 ms of DMA instead of
+# summing with it.  Override (e.g. to None) via module global for A/B.
+_DIM_SEMANTICS: Optional[Tuple[str, ...]] = ("parallel", "parallel",
+                                             "arbitrary")
+
+
+def _params(vmem_mb: int) -> "pltpu.CompilerParams":
+    kw = dict(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    if _DIM_SEMANTICS is not None:
+        kw["dimension_semantics"] = _DIM_SEMANTICS
+    return pltpu.CompilerParams(**kw)
+
+
 def _pick_blocks(bits: int, h: int, w: int, hb: int) -> Tuple[int, int]:
     """Rows/lanes per grid cell.  12-bit tables make the (hb, 2*LO, wb)
     intermediates 4x larger, so the lane dim blocks down to keep the
@@ -477,7 +495,7 @@ def merge_planar_fused(val: Array, std: Optional[Array], exposures: Array,
     out_spec = pl.BlockSpec((1, hb, wb), lambda c_, i, j: (c_, i, j),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((ch, h, w), f32)
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    params = _params(64)
 
     if use_std:
         ov, os_ = pl.pallas_call(
@@ -540,7 +558,7 @@ def merge_planar_lerp(val: Array, std: Optional[Array], exposures: Array,
     out_spec = pl.BlockSpec((1, hb, wb), lambda c_, i, j: (c_, i, j),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((ch, h, w), f32)
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    params = _params(64)
 
     if use_std:
         ov, os_ = pl.pallas_call(
@@ -618,7 +636,7 @@ def merge_planar_lerp_bp(val: Array, std: Optional[Array], dark: Array,
     out_spec = pl.BlockSpec((1, hb, wb), lambda c_, i, j: (c_, i, j),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((ch, h, w), f32)
-    params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    params = _params(96)
 
     if use_std:
         ov, os_ = pl.pallas_call(
