@@ -215,6 +215,7 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     """
     from concurrent.futures import ThreadPoolExecutor
     from ..ops.linearize import icrf_derivative
+    from ..utils.general import set_thread_priority
     from ..utils.observability import stage as _stage
     log = get_logger()
     cfg = config
@@ -238,8 +239,15 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     scene_paths: list = []
     pool = None
     # two transfer workers: the tunnel's degraded epochs throttle per
-    # stream, and a second in-flight upload fills the first one's stalls
-    with _stage("stacks_s"), ThreadPoolExecutor(max_workers=2) as xfer:
+    # stream, and a second in-flight upload fills the first one's stalls.
+    # Deprioritized: on slow links the transfer calls spin the CPU for
+    # their whole duration, and on a single-core host that CPU otherwise
+    # comes straight out of the decode thread (measured 2.6x decode
+    # inflation in a 3 MB/s epoch); niced workers only soak up cycles
+    # decode/stats aren't using.
+    with _stage("stacks_s"), ThreadPoolExecutor(
+            max_workers=2,
+            initializer=lambda: set_thread_priority(15)) as xfer:
         for idx, k in enumerate(names):
             first = sorted(scenes[k], key=_exposure_of)[0]
             h, w = video_mod.probe_geometry(first)

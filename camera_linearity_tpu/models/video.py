@@ -175,6 +175,10 @@ def _prefetch(iterator: Iterator[np.ndarray], depth: int = 2
     q: "queue.Queue" = queue.Queue(maxsize=depth)
 
     def worker():
+        # decode is the pipeline's critical path: boost it above transfer
+        # threads, whose remote-transport calls spin the CPU on slow links
+        from ..utils.general import set_thread_priority
+        set_thread_priority(-5)
         try:
             for item in iterator:
                 q.put(item)

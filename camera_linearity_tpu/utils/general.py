@@ -13,7 +13,28 @@ Array = jnp.ndarray
 __all__ = [
     "is_broadcastable", "choose_evenly_spaced_points", "predict_output_shape",
     "map_linearity_limits", "interpolate_data", "stage_to_device",
+    "set_thread_priority",
 ]
+
+
+def set_thread_priority(nice: int) -> bool:
+    """Set the CALLING thread's scheduling niceness (Linux: nice values are
+    per-task, and ``who=0`` addresses the current thread).
+
+    On single-core hosts the pipeline's throughput is a fixed CPU budget
+    split between decode, statistics and device-transfer threads; transfer
+    calls through remote-device transports spin the CPU for the whole
+    transfer on degraded links, which steals the budget from decode unless
+    the transfer threads are explicitly deprioritized (measured: in-pipeline
+    decode at 0.3x its standalone rate during saturated uploads).  Negative
+    niceness needs privilege; returns False (no-op) where unsupported.
+    """
+    import os
+    try:
+        os.setpriority(os.PRIO_PROCESS, 0, nice)
+        return True
+    except (AttributeError, OSError, PermissionError):
+        return False
 
 
 def stage_to_device(arr: np.ndarray, max_bytes: int = 128 << 20) -> Array:
