@@ -429,12 +429,13 @@ def _interpret() -> bool:
 
 
 # Every grid cell writes a distinct output block (no cross-cell carries),
-# so all grid dimensions are semantically parallel.  Declaring them lets
-# Mosaic overlap each cell's block DMA with the previous cell's compute —
-# measured on the plateau harness (benchmarks/exp_plateau.py): the pure
-# copy floor at hb=16 drops 2.65 -> 1.97 ms with hints, and the full
-# kernel overlaps its ~2 ms of compute into the ~2 ms of DMA instead of
-# summing with it.  Override (e.g. to None) via module global for A/B.
+# so all grid dimensions are semantically parallel.  Declaring them
+# improves the DMA stream itself — the pure-copy floor at hb=16 drops
+# 2.65 -> 1.97 ms and the full kernel ~3.9 -> ~3.7 ms (benchmarks/
+# exp_plateau.py) — but DMA and compute remain ADDITIVE: neither these
+# hints nor a hand-rolled async-copy pipeline (benchmarks/
+# exp_manual_pipeline.py) overlaps them on this part.  Override (e.g. to
+# None) via module global for A/B.
 _DIM_SEMANTICS: Optional[Tuple[str, ...]] = ("parallel", "parallel",
                                              "arbitrary")
 
