@@ -11,4 +11,4 @@ TPU kernels, and multi-chip scaling goes through jax.sharding meshes.
 from .config import CameraConfig, DEFAULT_CONFIG  # noqa: F401
 from .measurand import Measurand  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -228,8 +228,17 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
 
     from ..utils.general import stage_to_device
 
+    # On the CPU backend jax ZERO-COPIES aligned host buffers: the
+    # "uploaded" arrays would alias the pool pair that a later scene then
+    # overwrites.  Upload a fresh copy there (jax holds a reference to it,
+    # so the pool slot is free to reuse); accelerator transfers genuinely
+    # copy and skip this.
+    _aliasing_backend = jax.default_backend() == "cpu"
+
     def _upload(v, s):
         with _stage("upload_s"):
+            if _aliasing_backend:
+                v, s = np.array(v, copy=True), np.array(s, copy=True)
             dv, ds = stage_to_device(v), stage_to_device(s)
             jax.block_until_ready((dv, ds))
         return dv, ds
@@ -245,56 +254,75 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     # comes straight out of the decode thread (measured 2.6x decode
     # inflation in a 3 MB/s epoch); niced workers only soak up cycles
     # decode/stats aren't using.
-    with _stage("stacks_s"), ThreadPoolExecutor(
-            max_workers=2,
-            initializer=lambda: set_thread_priority(15)) as xfer:
-        for idx, k in enumerate(names):
-            first = sorted(scenes[k], key=_exposure_of)[0]
-            h, w = video_mod.probe_geometry(first)
-            shape = (len(scenes[k]), h, w, cfg.num_of_chs)
-            if pool is None:
-                pool = _scene_stack_pool(shape, ftype)
-            # reusing a buffer pair requires its previous scene's uploads
-            # to have drained (the device holds copies once done)
-            if idx >= len(pool):
-                for f in scene_futs[idx - len(pool)]:
-                    f.result()
-            stacks = pool[idx % len(pool)]
-            if stacks[0].shape != shape:
-                raise ValueError(
-                    f"batch_video_to_hdr: scene {k!r} has geometry "
-                    f"{shape}, expected {stacks[0].shape} from "
-                    f"{names[0]!r}; all scenes in a batch must share "
-                    "frame geometry and exposure count")
-            futs: list = []
-            _, _, exposures_np, paths = videos_to_stacks(
-                scenes[k], cfg, stacks=stacks,
-                on_video=lambda i, v, s, futs=futs: futs.append(
-                    xfer.submit(_upload, v, s)))
-            scene_futs.append(futs)
-            scene_exposures.append(exposures_np)
-            scene_paths.append(paths)
-    # The batched merge applies ONE exposure vector to every scene; a scene
-    # with different exposure times would merge silently wrong.
-    for name, exp in zip(names, scene_exposures):
-        if not np.array_equal(exp, scene_exposures[0]):
+    # Exposures come from filenames — validate the whole batch BEFORE any
+    # decode work so a mismatched scene fails in milliseconds, not after
+    # minutes of decoding.  The batched merge applies ONE exposure vector
+    # to every scene; a differing scene would merge silently wrong.
+    for name in names:
+        exp = sorted(_exposure_of(p) for p in scenes[name])
+        exp0 = sorted(_exposure_of(p) for p in scenes[names[0]])
+        if exp != exp0:
             raise ValueError(
                 f"batch_video_to_hdr: scene {name!r} has exposures "
-                f"{exp.tolist()} != {names[0]!r}'s "
-                f"{scene_exposures[0].tolist()}; merge scenes with "
+                f"{exp} != {names[0]!r}'s {exp0}; merge scenes with "
                 "differing exposure sets separately (video_to_hdr)")
-    exposures = jnp.asarray(scene_exposures[0])
 
-    with _stage("assemble_s"):
-        per_scene = []
-        for futs in scene_futs:
-            pairs = [f.result() for f in futs]
-            per_scene.append((jnp.stack([p[0] for p in pairs]),
-                              jnp.stack([p[1] for p in pairs])))
-        batch_val = jnp.stack([v for v, _ in per_scene])
-        batch_std = jnp.stack([s for _, s in per_scene])
-        del per_scene
-        batch_val.block_until_ready()
+    # The executor outlives the stacks_s stage: its shutdown blocks on
+    # in-flight uploads, and that tail belongs to assemble_s (the unhidden
+    # upload remainder), not to decode/stats attribution — assemble_s
+    # drains every future, so exiting the executor afterwards is instant.
+    with ThreadPoolExecutor(
+            max_workers=2,
+            initializer=lambda: set_thread_priority(15)) as xfer:
+        with _stage("stacks_s"):
+            for idx, k in enumerate(names):
+                first = sorted(scenes[k], key=_exposure_of)[0]
+                h, w = video_mod.probe_geometry(first)
+                shape = (len(scenes[k]), h, w, cfg.num_of_chs)
+                if pool is None:
+                    pool = _scene_stack_pool(shape, ftype)
+                # reusing a buffer pair requires its previous scene's
+                # uploads to have drained (the device holds copies once
+                # done)
+                if idx >= len(pool):
+                    for f in scene_futs[idx - len(pool)]:
+                        f.result()
+                stacks = pool[idx % len(pool)]
+                if stacks[0].shape != shape:
+                    raise ValueError(
+                        f"batch_video_to_hdr: scene {k!r} has geometry "
+                        f"{shape}, expected {stacks[0].shape} from "
+                        f"{names[0]!r}; all scenes in a batch must share "
+                        "frame geometry and exposure count")
+                futs: list = []
+                _, _, exposures_np, paths = videos_to_stacks(
+                    scenes[k], cfg, stacks=stacks,
+                    on_video=lambda i, v, s, futs=futs: futs.append(
+                        xfer.submit(_upload, v, s)))
+                scene_futs.append(futs)
+                scene_exposures.append(exposures_np)
+                scene_paths.append(paths)
+
+        # decoder-confirmed consistency backstop for the filename check
+        for name, exp in zip(names, scene_exposures):
+            if not np.array_equal(exp, scene_exposures[0]):
+                raise ValueError(
+                    f"batch_video_to_hdr: scene {name!r} has exposures "
+                    f"{exp.tolist()} != {names[0]!r}'s "
+                    f"{scene_exposures[0].tolist()}; merge scenes with "
+                    "differing exposure sets separately (video_to_hdr)")
+        exposures = jnp.asarray(scene_exposures[0])
+
+        with _stage("assemble_s"):
+            per_scene = []
+            for futs in scene_futs:
+                pairs = [f.result() for f in futs]
+                per_scene.append((jnp.stack([p[0] for p in pairs]),
+                                  jnp.stack([p[1] for p in pairs])))
+            batch_val = jnp.stack([v for v, _ in per_scene])
+            batch_std = jnp.stack([s for _, s in per_scene])
+            del per_scene
+            batch_val.block_until_ready()
     log.info("batch_video_to_hdr: %d scenes staged", len(names))
 
     with _stage("merge_s"):

@@ -67,7 +67,45 @@ def mmap_buffer(shape, dtype, prefault: bool = True) -> np.ndarray:
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "stager.cpp"
-_LIB_PATH = _DIR / "_stager.so"
+
+
+def _host_tag() -> str:
+    """Identify the CPU the library was compiled for.
+
+    ``-march=native`` output is only valid on hosts with the same feature
+    set; a lib baked into a container image on an AVX-512 builder would
+    SIGILL at first call on an older host (CDLL load succeeds — failure
+    is at execution, past the fallback gate).  Tagging the filename with
+    the machine + cpuinfo feature flags forces a rebuild per host kind.
+    """
+    import hashlib
+    import platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    return hashlib.md5((platform.machine() + feats).encode()).hexdigest()[:8]
+
+
+def _lib_path() -> Path:
+    """Per-host lib location: next to the source when writable, else a
+    user cache dir (read-only installs)."""
+    name = f"_stager-{_host_tag()}.so"
+    if os.access(_DIR, os.W_OK):
+        return _DIR / name
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache"))
+    d = cache / "camera_linearity_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    return d / name
+
+
+_LIB_PATH = _lib_path()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 

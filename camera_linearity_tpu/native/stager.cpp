@@ -7,8 +7,9 @@
 // is threaded with a simple pthread fork-join over row ranges:
 //
 //   * u8 -> f32 normalization (image load: dn / max_dn)
-//   * HWC u8 -> channel-first (C, P) f32 relayout (the fused merge kernel's
-//     preferred layout, ops/hdr_pallas.py)
+//   * HWC u8 -> channel-first (C, P) f32 relayout (the round-1 merge
+//     kernel's preferred layout; superseded by the zero-relayout planar
+//     kernel, ops/hdr_pallas2.py — kept for callers staging planar data)
 //   * fused Welford mean/M2 update directly from raw uint8 frames
 //     (bit-identical operation order to the reference loop)
 //

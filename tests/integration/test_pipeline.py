@@ -70,6 +70,67 @@ def test_video_to_hdr_end_to_end(scene_videos):
     assert hdr.is_hdr
 
 
+def test_batch_video_to_hdr_pool_reuse_distinct_scenes(tmp_path, rng):
+    """Scene 2 reuses scene 0's buffer pair (pool depth 2): uploaded
+    statistics must be genuine copies — on the CPU backend jax zero-copies
+    aligned host buffers, which aliased the pool and silently replaced
+    early scenes' statistics with later ones before the copy gate."""
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
+    scenes = {}
+    for si, name in enumerate(("a", "b", "c")):
+        d = tmp_path / name
+        d.mkdir()
+        base = rng.uniform(0.15, 0.45, (24, 32, 3)) * (1.0 + 0.4 * si)
+        paths = []
+        for ms in (4, 8, 16):
+            mean_img = np.clip(base * (ms / 16), 0, 1)
+            frames = np.clip(
+                mean_img[None] + rng.normal(0, 0.02, (12, 24, 32, 3)), 0, 1)
+            p = d / f"{name} {ms}ms.avi"
+            _write_video(p, np.around(frames * 255).astype(np.uint8))
+            paths.append(p)
+        import cv2 as cv
+        cap = cv.VideoCapture(str(paths[0]))
+        ok, _ = cap.read()
+        cap.release()
+        if not ok:
+            pytest.skip("no usable lossless codec")
+        scenes[name] = paths
+
+    out = pipeline.batch_video_to_hdr(scenes, jnp.asarray(icrf))
+    for name, paths in scenes.items():
+        solo = pipeline.video_to_hdr(paths, jnp.asarray(icrf))
+        np.testing.assert_allclose(np.asarray(out[name].measurand.val),
+                                   np.asarray(solo.measurand.val),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=f"scene {name!r} statistics "
+                                   "were replaced by a later scene's")
+
+
+def test_batch_video_to_hdr_rejects_mismatched_exposures_before_decode(
+        tmp_path, rng, monkeypatch):
+    """Exposure sets are filename-derived; a mismatched batch must fail
+    before any decode work happens."""
+    d1, d2 = tmp_path / "s1", tmp_path / "s2"
+    d1.mkdir(), d2.mkdir()
+    frames = np.zeros((2, 24, 32, 3), np.uint8)
+    scenes = {}
+    for d, exps in ((d1, (4, 8)), (d2, (4, 16))):
+        paths = []
+        for ms in exps:
+            p = d / f"x {ms}ms.avi"
+            _write_video(p, frames)
+            paths.append(p)
+        scenes[d.name] = paths
+    def _no_decode(*a, **k):
+        raise AssertionError("decode started before the exposure check")
+
+    monkeypatch.setattr(pipeline, "videos_to_stacks", _no_decode)
+    with pytest.raises(ValueError, match="exposures"):
+        pipeline.batch_video_to_hdr(scenes, jnp.asarray(
+            np.linspace(0, 1, 256)[:, None].repeat(3, 1)))
+
+
 def test_batch_video_to_hdr(scene_videos, tmp_path, rng):
     paths, base = scene_videos
     icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
