@@ -258,9 +258,9 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     # decode work so a mismatched scene fails in milliseconds, not after
     # minutes of decoding.  The batched merge applies ONE exposure vector
     # to every scene; a differing scene would merge silently wrong.
-    for name in names:
+    exp0 = sorted(_exposure_of(p) for p in scenes[names[0]])
+    for name in names[1:]:
         exp = sorted(_exposure_of(p) for p in scenes[name])
-        exp0 = sorted(_exposure_of(p) for p in scenes[names[0]])
         if exp != exp0:
             raise ValueError(
                 f"batch_video_to_hdr: scene {name!r} has exposures "
@@ -303,14 +303,9 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                 scene_exposures.append(exposures_np)
                 scene_paths.append(paths)
 
-        # decoder-confirmed consistency backstop for the filename check
-        for name, exp in zip(names, scene_exposures):
-            if not np.array_equal(exp, scene_exposures[0]):
-                raise ValueError(
-                    f"batch_video_to_hdr: scene {name!r} has exposures "
-                    f"{exp.tolist()} != {names[0]!r}'s "
-                    f"{scene_exposures[0].tolist()}; merge scenes with "
-                    "differing exposure sets separately (video_to_hdr)")
+        # scene_exposures is filename-derived too (videos_to_stacks sorts
+        # by _exposure_of), so the pre-check above already guarantees
+        # agreement — no second check can fire
         exposures = jnp.asarray(scene_exposures[0])
 
         with _stage("assemble_s"):

@@ -70,13 +70,15 @@ _SRC = _DIR / "stager.cpp"
 
 
 def _host_tag() -> str:
-    """Identify the CPU the library was compiled for.
+    """Identify the CPU + source the library was compiled for.
 
     ``-march=native`` output is only valid on hosts with the same feature
     set; a lib baked into a container image on an AVX-512 builder would
     SIGILL at first call on an older host (CDLL load succeeds — failure
-    is at execution, past the fallback gate).  Tagging the filename with
-    the machine + cpuinfo feature flags forces a rebuild per host kind.
+    is at execution, past the fallback gate).  The tag hashes the machine
+    + cpuinfo feature flags AND the source contents (mtime lies under
+    wheel/timestamp-normalizing installers, and a cache dir can be shared
+    by installs of different versions), so any mismatch rebuilds.
     """
     import hashlib
     import platform
@@ -89,12 +91,22 @@ def _host_tag() -> str:
                     break
     except OSError:
         pass
-    return hashlib.md5((platform.machine() + feats).encode()).hexdigest()[:8]
+    try:
+        src = _SRC.read_bytes()
+    except OSError:
+        src = b""
+    h = hashlib.md5(usedforsecurity=False)  # cache key, not security
+    h.update(platform.machine().encode())
+    h.update(feats.encode())
+    h.update(src)
+    return h.hexdigest()[:10]
 
 
 def _lib_path() -> Path:
     """Per-host lib location: next to the source when writable, else a
-    user cache dir (read-only installs)."""
+    user cache dir (read-only installs).  May raise on exotic hosts
+    (unwritable HOME, FIPS quirks) — callers degrade to the NumPy
+    fallback."""
     name = f"_stager-{_host_tag()}.so"
     if os.access(_DIR, os.W_OK):
         return _DIR / name
@@ -105,16 +117,15 @@ def _lib_path() -> Path:
     return d / name
 
 
-_LIB_PATH = _lib_path()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 _NTHREADS = min(16, os.cpu_count() or 1)
 
 
-def _build() -> bool:
+def _build(lib_path: Path) -> bool:
     base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-            str(_SRC), "-o", str(_LIB_PATH)]
+            str(_SRC), "-o", str(lib_path)]
     # -march=native vectorizes the u8 moment accumulation ~1.4x wider
     # (AVX2 vs baseline SSE2); fall back to the portable build where the
     # compiler rejects it
@@ -133,39 +144,48 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    needs_build = (not _LIB_PATH.exists()
-                   or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime)
-    if needs_build and not _build():
-        return None
+    # Everything up to a successfully-bound CDLL degrades to the NumPy
+    # fallback: path resolution (unwritable HOME), hashing (exotic
+    # builds), building (no compiler), loading, and symbol binding (a
+    # stale shared cache lib from another install).
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
-    except OSError:
+        lib_path = _lib_path()
+        # the filename embeds host + source-content hashes, so existence
+        # IS freshness — no mtime trust
+        if not lib_path.exists() and not _build(lib_path):
+            return None
+        lib = ctypes.CDLL(str(lib_path))
+    except Exception:
         return None
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
     f64p = ctypes.POINTER(ctypes.c_double)
-    lib.clt_u8_to_f32.argtypes = [u8p, f32p, ctypes.c_size_t,
-                                  ctypes.c_float, ctypes.c_int]
-    lib.clt_u8_hwc_to_cfirst_f32.argtypes = [
-        u8p, f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_float,
-        ctypes.c_int]
-    lib.clt_welford_update_u8.argtypes = [
-        u8p, f64p, f64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_int64,
-        ctypes.c_int]
-    lib.clt_welford_update_batch_u8.argtypes = [
-        u8p, f64p, f64p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_double,
-        ctypes.c_int64, ctypes.c_int]
     u64p = ctypes.POINTER(ctypes.c_uint64)
-    lib.clt_accum_moments_u8.argtypes = [
-        u8p, ctypes.c_size_t, ctypes.c_size_t, u64p, u64p, ctypes.c_int]
-    lib.clt_finalize_moments_u64.argtypes = [
-        u64p, u64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
-        f64p, f64p, ctypes.c_int]
-    lib.clt_finalize_moments_u64_f32.argtypes = [
-        u64p, u64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
-        f32p, f32p, ctypes.c_int]
-    lib.clt_version.restype = ctypes.c_int
+    try:
+        lib.clt_u8_to_f32.argtypes = [u8p, f32p, ctypes.c_size_t,
+                                      ctypes.c_float, ctypes.c_int]
+        lib.clt_u8_hwc_to_cfirst_f32.argtypes = [
+            u8p, f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_float,
+            ctypes.c_int]
+        lib.clt_welford_update_u8.argtypes = [
+            u8p, f64p, f64p, ctypes.c_size_t, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int]
+        lib.clt_welford_update_batch_u8.argtypes = [
+            u8p, f64p, f64p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_double, ctypes.c_int64, ctypes.c_int]
+        lib.clt_accum_moments_u8.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_size_t, u64p, u64p,
+            ctypes.c_int]
+        lib.clt_finalize_moments_u64.argtypes = [
+            u64p, u64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
+            f64p, f64p, ctypes.c_int]
+        lib.clt_finalize_moments_u64_f32.argtypes = [
+            u64p, u64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
+            f32p, f32p, ctypes.c_int]
+        lib.clt_version.restype = ctypes.c_int
+    except AttributeError:
+        return None  # symbol mismatch: lib from another source version
     _lib = lib
     return _lib
 
