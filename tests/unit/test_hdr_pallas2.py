@@ -264,3 +264,48 @@ def test_lerp_bp_256_degenerates_to_exact_lookup(rng):
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(ps), np.asarray(js), rtol=5e-5,
                                atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# randomized shape/dtype sweep: grid-tail and dtype handling across the
+# whole small-shape space (hypothesis), val+std and value-only
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(2, 5), st.integers(3, 26), st.integers(8, 70),
+       st.integers(1, 3), st.booleans(), st.booleans(),
+       st.integers(0, 2 ** 31 - 1))
+def test_fused_kernel_parity_random_shapes(n, h, w, c, use_std, int_dns,
+                                           seed):
+    rng = np.random.default_rng(seed)
+    if int_dns:
+        val = rng.integers(0, 256, (n, h, w, c)).astype(np.uint8)
+    else:
+        val = rng.uniform(0.0, 1.0, (n, h, w, c)).astype(np.float32)
+    std = rng.uniform(0.001, 0.02, (n, h, w, c)).astype(np.float32) \
+        if use_std else None
+    exposures = (0.001 * 2.0 ** np.arange(n)).astype(np.float32)
+    icrf = np.sort(rng.uniform(0, 1, (256, c)), axis=0).astype(np.float32)
+    icrf[0], icrf[-1] = 0.0, 1.0
+    icrf_diff = np.gradient(icrf.astype(np.float64), 2 / 255,
+                            axis=0).astype(np.float32)
+    j = jnp.asarray
+    pv, ps = merge_nhwc_fused(j(val), None if std is None else j(std),
+                              j(exposures), j(icrf), j(icrf_diff), hb=8)
+    # integer DNs go through the u8 oracle (merge_stack documents [0,1]
+    # floats; the kernel auto-detects the dtype)
+    oracle = hdr.merge_stack_u8 if int_dns else hdr.merge_stack
+    rv, rs = oracle(j(val), None if std is None else j(std),
+                    j(exposures), j(icrf), j(icrf_diff))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv), rtol=5e-5,
+                               atol=1e-6)
+    if use_std:
+        # atol floor 1e-5: the full [0,1] val range reaches weight/bracket
+        # cancellation zones where near-zero stds carry f32 noise that
+        # rtol alone amplifies (observed 7e-6 abs at std~5e-3)
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(rs),
+                                   rtol=5e-4, atol=1e-5)
+    else:
+        assert ps is None
