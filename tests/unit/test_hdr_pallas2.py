@@ -270,9 +270,16 @@ def test_lerp_bp_256_degenerates_to_exact_lookup(rng):
 # randomized shape/dtype sweep: grid-tail and dtype handling across the
 # whole small-shape space (hypothesis), val+std and value-only
 # ---------------------------------------------------------------------------
+import os  # noqa: E402
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 
+# CPU-only: the sweep's value is shape-space logic, which interpret mode
+# covers; on the real chip every random shape would pay a fresh Mosaic
+# compile (minutes of tunnel time for zero extra coverage)
+@pytest.mark.skipif(os.environ.get("CL_TPU_TEST_PLATFORM", "cpu") != "cpu",
+                    reason="shape-space sweep is interpret-mode coverage")
 @settings(max_examples=10, deadline=None)
 @given(st.integers(2, 5), st.integers(3, 26), st.integers(8, 70),
        st.integers(1, 3), st.booleans(), st.booleans(),
