@@ -162,6 +162,67 @@ def cmd_dorf(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment diagnostic: what will this install actually run on?
+
+    Probes the pieces whose availability/performance decide every
+    pipeline's behavior — JAX backend and devices, x64 mode, the native
+    staging library, host parallelism, device transfer rate, and (when a
+    video is given) the decode rate that ceilings the video pipelines.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import __version__, native
+
+    print(f"camera_linearity_tpu {__version__}")
+    print(f"jax {jax.__version__}  backend={jax.default_backend()}  "
+          f"x64={'on' if jax.config.jax_enable_x64 else 'off'}")
+    for dev in jax.devices():
+        print(f"  device: {dev}")
+    import os
+    print(f"host: {os.cpu_count()} cpu core(s)")
+    ok = native.available()
+    print(f"native staging library: {'built' if ok else 'NumPy fallback'}")
+    if ok:
+        rate = 0.0
+        batch = np.random.default_rng(0).integers(
+            0, 255, (8, 540, 960, 3), np.uint8)
+        s = np.zeros((540, 960, 3), np.uint64)
+        q = np.zeros_like(s)
+        native.accum_moments_u8(batch, s, q)  # warm
+        t0 = time.perf_counter()
+        native.accum_moments_u8(batch, s, q)
+        rate = batch.shape[0] * 540 * 960 / 1e6 / (time.perf_counter() - t0)
+        print(f"  exact-moment accumulation: {rate:.0f} MP/s/core")
+    payload = np.ones((16 << 20) // 4, np.float32)
+    jnp.asarray(payload[:8]).block_until_ready()  # pay transfer setup
+    t0 = time.perf_counter()
+    float(jnp.sum(jnp.asarray(payload)))
+    mbps = payload.nbytes / 1e6 / (time.perf_counter() - t0)
+    print(f"host->device: {mbps:.0f} MB/s (16 MB probe)")
+    t0 = time.perf_counter()
+    x = jnp.ones((256, 256))
+    float(jnp.sum(x @ x))
+    print(f"device dispatch+matmul round trip: "
+          f"{(time.perf_counter() - t0) * 1e3:.1f} ms")
+    if args.video:
+        from .models import video as video_mod
+        h, w = video_mod.probe_geometry(Path(args.video))
+        n = 0
+        t0 = time.perf_counter()
+        for frame in video_mod.video_frame_generator(Path(args.video)):
+            if frame is None or n >= 120:
+                break
+            n += 1
+        rate = n * h * w / 1e6 / (time.perf_counter() - t0)
+        print(f"decode: {rate:.0f} MP/s ({w}x{h}; this rate ceilings the "
+              "video pipelines on 1-core hosts)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="camera_linearity_tpu",
                                 description=__doc__,
@@ -207,6 +268,10 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dorf", help="build the DoRF PCA basis")
     d.add_argument("--data")
     d.set_defaults(fn=cmd_dorf)
+
+    dr = sub.add_parser("doctor", help="diagnose the runtime environment")
+    dr.add_argument("--video", help="also probe decode rate on this file")
+    dr.set_defaults(fn=cmd_doctor)
     return p
 
 

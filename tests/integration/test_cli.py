@@ -150,3 +150,11 @@ def test_cli_video(tmp_path, rng):
     assert rc == 0
     assert (vdir / "mean" / "scene 5ms.tif").exists()
     assert (vdir / "std" / "scene 5ms STD.tif").exists()
+
+
+def test_cli_doctor(capsys):
+    rc = main(["doctor"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "backend=" in out and "native staging library" in out
+    assert "host->device" in out
