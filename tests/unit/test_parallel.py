@@ -199,3 +199,33 @@ def test_merge_batch_sharded_requires_diff_base(rng, mesh):
     with pytest.raises(ValueError, match="icrf_diff_base"):
         sharded.merge_batch_sharded(bv, bs, ex, icrf, diff, mesh,
                                     icrf_base=base)
+
+
+def test_pair_stats_sharded_parity(rng, mesh):
+    """pair_stats_sharded == the single-device pair statistics: the
+    difference stays chip-local, only the reductions psum."""
+    h, w, c = 32, 8, 3
+    short_v = rng.uniform(0.1, 0.4, (h, w, c))
+    long_v = rng.uniform(0.4, 0.9, (h, w, c))
+    short_s = rng.uniform(0.005, 0.02, (h, w, c))
+    long_s = rng.uniform(0.005, 0.02, (h, w, c))
+    ratio = 0.5
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = NamedSharding(mesh, P("pixel", None, None))
+    args = [jax.device_put(jnp.asarray(a), spec)
+            for a in (short_v, long_v, short_s, long_s)]
+    got_abs, got_rel = sharded.pair_stats_sharded(args[0], args[1],
+                                                  args[2], args[3], ratio,
+                                                  mesh)
+
+    from camera_linearity_tpu.ops.uncertainty import scale_difference
+    (av, astd), (rv, rstd) = scale_difference(
+        jnp.asarray(short_v), jnp.asarray(short_s), jnp.asarray(long_v),
+        jnp.asarray(long_s), ratio)
+    exp_abs = stats_ops.dimension_statistics(av, astd, axis=(0, 1))
+    exp_rel = stats_ops.dimension_statistics(rv, rstd, axis=(0, 1))
+    for got, exp in ((got_abs, exp_abs), (got_rel, exp_rel)):
+        for k in ("mean", "std", "error"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(exp[k]), rtol=1e-10)
