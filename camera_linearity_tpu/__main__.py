@@ -187,7 +187,6 @@ def cmd_doctor(args) -> int:
     ok = native.available()
     print(f"native staging library: {'built' if ok else 'NumPy fallback'}")
     if ok:
-        rate = 0.0
         batch = np.random.default_rng(0).integers(
             0, 255, (8, 540, 960, 3), np.uint8)
         s = np.zeros((540, 960, 3), np.uint64)
@@ -196,27 +195,35 @@ def cmd_doctor(args) -> int:
         t0 = time.perf_counter()
         native.accum_moments_u8(batch, s, q)
         rate = batch.shape[0] * 540 * 960 / 1e6 / (time.perf_counter() - t0)
-        print(f"  exact-moment accumulation: {rate:.0f} MP/s/core")
+        print(f"  exact-moment accumulation: {rate:.0f} MP/s "
+              f"({native._NTHREADS} thread(s))")
+    # one-time costs (first transfer of this size, jit compiles) are paid
+    # BEFORE each timed window — the point is the steady rate, and on
+    # tunneled hosts the one-time costs run to minutes
+    from .utils.general import stage_to_device
     payload = np.ones((16 << 20) // 4, np.float32)
-    jnp.asarray(payload[:8]).block_until_ready()  # pay transfer setup
+    jax.block_until_ready(stage_to_device(payload))  # transfer-path setup
     t0 = time.perf_counter()
-    float(jnp.sum(jnp.asarray(payload)))
+    jax.block_until_ready(stage_to_device(payload))
     mbps = payload.nbytes / 1e6 / (time.perf_counter() - t0)
-    print(f"host->device: {mbps:.0f} MB/s (16 MB probe)")
-    t0 = time.perf_counter()
+    print(f"host->device: {mbps:.0f} MB/s (16 MB probe, steady rate)")
     x = jnp.ones((256, 256))
+    float(jnp.sum(x @ x))  # compile outside the window
+    t0 = time.perf_counter()
     float(jnp.sum(x @ x))
     print(f"device dispatch+matmul round trip: "
-          f"{(time.perf_counter() - t0) * 1e3:.1f} ms")
+          f"{(time.perf_counter() - t0) * 1e3:.1f} ms (warm)")
     if args.video:
         from .models import video as video_mod
         h, w = video_mod.probe_geometry(Path(args.video))
         n = 0
         t0 = time.perf_counter()
         for frame in video_mod.video_frame_generator(Path(args.video)):
-            if frame is None or n >= 120:
+            if frame is None:
                 break
             n += 1
+            if n >= 120:
+                break
         rate = n * h * w / 1e6 / (time.perf_counter() - t0)
         print(f"decode: {rate:.0f} MP/s ({w}x{h}; this rate ceilings the "
               "video pipelines on 1-core hosts)")
