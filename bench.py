@@ -185,7 +185,42 @@ def bench_config2_headline():
     }))
 
 
+def _device_attaches(timeout_s: float) -> bool:
+    """Bounded device-attach probe.
+
+    A dead device tunnel makes the first jax call block FOREVER (observed:
+    the relay process died mid-round and `jax.devices()` hung past a
+    10-minute timeout).  Attaching on a daemon thread bounds the wait so a
+    scoring run emits a structured diagnostic instead of hanging until an
+    external kill loses the whole artifact."""
+    import threading
+    ok: list = []
+
+    def attach():
+        import jax
+        ok.append(len(jax.devices()) > 0)
+
+    t = threading.Thread(target=attach, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    timeout_s = float(os.environ.get("CL_BENCH_ATTACH_TIMEOUT", "600"))
+    if not _device_attaches(timeout_s):
+        err = (f"device attach did not complete within {timeout_s:.0f}s "
+               "(device tunnel down?)")
+        for name in ("config1_merge_gray_nostd",
+                     "config3_merge_12bit_fused_corrections",
+                     "config4_calibration_3ch_wall",
+                     "config5_video_to_hdr_e2e"):
+            print(json.dumps({"metric": name, "error": err}))
+        print(json.dumps({"metric": "hdr_merge_val_std_throughput",
+                          "error": err}), flush=True)
+        # the attach thread is stuck in native code; a normal interpreter
+        # exit would join it and hang anyway
+        os._exit(0)
     for bench in (bench_config1, bench_config3, bench_config4,
                   bench_config5):
         try:
