@@ -162,3 +162,41 @@ def test_valid_exposure_pairs_filters_ratio():
     # the reference's `ratio < 0.1` test, exposure_series.py:298-300).
     assert (0, 1) not in pairs and (0, 2) not in pairs and (0, 3) not in pairs
     assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# randomized sweep: energy parity across curve/stack/limit space
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(3, 7), st.integers(4, 40), st.booleans(),
+       st.integers(0, 40), st.integers(200, 255),
+       st.integers(0, 2 ** 31 - 1))
+def test_energy_matches_oracle_random(n, pixels, use_std, lower_dn,
+                                      upper_dn, seed):
+    rng = np.random.default_rng(seed)
+    exposures = 0.001 * 2.0 ** np.arange(n)
+    radiance = rng.uniform(0.05, 60.0, (pixels, 1))
+    dn = np.clip((radiance[..., None] * exposures) ** (1 / 2.2), 0, 1)
+    stack_dn = np.around(dn * 255).astype(np.uint8)
+    std_stack = rng.uniform(0.001, 0.02, (pixels, 1, n)) if use_std \
+        else None
+    # random monotone candidate (not necessarily the true gamma)
+    curve = np.sort(rng.uniform(0, 1, 256))
+    curve[0], curve[-1] = 0.0, 1.0
+
+    ii, jj = lin.upper_triangle_pairs(n)
+    e = lin.linearity_energy(
+        jnp.asarray(curve), jnp.asarray(stack_dn.reshape(pixels, n)),
+        None if std_stack is None
+        else jnp.asarray(std_stack.reshape(pixels, n)),
+        jnp.asarray(exposures), lower_dn, upper_dn,
+        jnp.asarray(ii), jnp.asarray(jj))
+    oe = oracle_energy(curve, stack_dn, std_stack, exposures, lower_dn,
+                       upper_dn)
+    if np.isinf(oe):
+        assert not np.isfinite(float(e))
+    else:
+        np.testing.assert_allclose(float(e), oe, rtol=1e-9)
