@@ -170,19 +170,33 @@ def cmd_doctor(args) -> int:
     staging library, host parallelism, device transfer rate, and (when a
     video is given) the decode rate that ceilings the video pipelines.
     """
+    import os
     import time
+
+    from . import __version__, native
+    from .utils.general import device_attach_within
+
+    print(f"camera_linearity_tpu {__version__}")
+    # doctor is the tool users reach for precisely when the environment is
+    # broken — probe the device tunnel with a bound BEFORE any jax call so
+    # a dead tunnel produces a diagnosis instead of an infinite hang
+    attach_timeout = float(os.environ.get("CL_ATTACH_TIMEOUT", "120"))
+    if not device_attach_within(attach_timeout):
+        print(f"device attach did not complete within {attach_timeout:.0f}s "
+              "(device tunnel down?) — skipping device probes")
+        ok = native.available()
+        print("native staging library: "
+              f"{'built' if ok else 'NumPy fallback'}")
+        # the attach thread is stuck in native code; a normal interpreter
+        # exit would join it and hang anyway
+        os._exit(2)
 
     import jax
     import jax.numpy as jnp
-
-    from . import __version__, native
-
-    print(f"camera_linearity_tpu {__version__}")
     print(f"jax {jax.__version__}  backend={jax.default_backend()}  "
           f"x64={'on' if jax.config.jax_enable_x64 else 'off'}")
     for dev in jax.devices():
         print(f"  device: {dev}")
-    import os
     print(f"host: {os.cpu_count()} cpu core(s)")
     ok = native.available()
     print(f"native staging library: {'built' if ok else 'NumPy fallback'}")

@@ -8,6 +8,8 @@ map with uncertainty — everything after decode on device.
 """
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
@@ -114,26 +116,48 @@ def video_to_hdr(video_paths: Sequence[Path], ICRF: Array,
                                     apply_flat_field=False)
 
 
-_SCENE_STACKS: Dict[tuple, list] = {}
+# Warm-buffer cache: geometry key -> list of idle buffer-pair lists.
+# Checkout REMOVES a pool from the cache (so concurrent/reentrant
+# batch_video_to_hdr calls of the same geometry never share buffers and
+# can't decode/finalize into each other's stacks); return puts it back
+# for the next call.  Bounded to the most recent geometries so the cache
+# can't pin unbounded hundreds-of-MB pairs for process lifetime.
+_SCENE_STACKS: "OrderedDict[tuple, list]" = OrderedDict()
+_SCENE_STACKS_LOCK = threading.Lock()
+_MAX_CACHED_GEOMETRIES = 2
 
 
-def _scene_stack_pool(shape, dtype, depth: int = 2):
-    """Rotating pool of prefaulted host scene-stack buffer pairs.
+def _checkout_scene_stack_pool(shape, dtype, depth: int = 2):
+    """Check out a pool of prefaulted host scene-stack buffer pairs.
 
     Fresh multi-hundred-MB allocations first-touch-fault inside the
     statistics loop; a reused warm pair writes at memory speed.  Two pairs
     suffice: scene k+1 fills one while scene k's uploads drain the other
     (callers must wait on scene k-1's uploads before reusing its pair —
-    see batch_video_to_hdr).
+    see batch_video_to_hdr).  The pool is EXCLUSIVE to the caller until
+    ``_return_scene_stack_pool``; a concurrent checkout of the same
+    geometry builds fresh buffers.
     """
     from .. import native
     key = (tuple(shape), np.dtype(dtype).str)
-    if key not in _SCENE_STACKS:
-        _SCENE_STACKS[key] = [
-            (native.mmap_buffer(shape, dtype), native.mmap_buffer(shape,
-                                                                  dtype))
-            for _ in range(depth)]
-    return _SCENE_STACKS[key]
+    with _SCENE_STACKS_LOCK:
+        pools = _SCENE_STACKS.get(key)
+        if pools:
+            pool = pools.pop()
+            if not pools:
+                del _SCENE_STACKS[key]
+            return key, pool
+    pool = [(native.mmap_buffer(shape, dtype),
+             native.mmap_buffer(shape, dtype)) for _ in range(depth)]
+    return key, pool
+
+
+def _return_scene_stack_pool(key, pool) -> None:
+    with _SCENE_STACKS_LOCK:
+        _SCENE_STACKS.setdefault(key, []).append(pool)
+        _SCENE_STACKS.move_to_end(key)
+        while len(_SCENE_STACKS) > _MAX_CACHED_GEOMETRIES:
+            _SCENE_STACKS.popitem(last=False)
 
 
 def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
@@ -164,8 +188,11 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
         native.available()
         native.tune_host_allocator()
     with timed("prewarm: host buffer prefault", log):
-        video_mod._host_buffers(min(batch_size, 16), height, width, chs)
-        pool = _scene_stack_pool((n_exposures, height, width, chs), ftype)
+        vkey, vbufs = video_mod._checkout_host_buffers(
+            min(batch_size, 16), height, width, chs)
+        video_mod._return_host_buffers(vkey, vbufs)
+        pool_key, pool = _checkout_scene_stack_pool(
+            (n_exposures, height, width, chs), ftype)
     icrf_j = jnp.asarray(ICRF)
     icrf_diff_j = jnp.asarray(ICRF_diff) if ICRF_diff is not None else \
         icrf_derivative(icrf_j, cfg.bits)
@@ -180,6 +207,9 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
     jax.block_until_ready(stage_to_device(pool[0][1][0]))
     h2d_mbps = pool[0][1][0].nbytes / 1e6 / (_time.perf_counter() - t0)
     log.info("prewarm: h2d steady rate %.0f MB/s", h2d_mbps)
+    # hand the prefaulted pair back so the run being prewarmed checks out
+    # these exact warm buffers
+    _return_scene_stack_pool(pool_key, pool)
     # exact-shape compile of assembly + merge, from device-side zeros
     with timed("prewarm: merge compile+run", log):
         sl = jnp.zeros((height, width, chs), ftype)
@@ -224,6 +254,13 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
         icrf_derivative(icrf_j, cfg.bits)
 
     names = list(scenes.keys())
+    if not names:
+        raise ValueError("batch_video_to_hdr: scenes is empty; pass at "
+                         "least one scene name -> video paths entry")
+    for name in names:
+        if not scenes[name]:
+            raise ValueError(f"batch_video_to_hdr: scene {name!r} has no "
+                             "videos")
     ftype = jax.dtypes.canonicalize_dtype(np.float64)
 
     from ..utils.general import stage_to_device
@@ -271,53 +308,61 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     # in-flight uploads, and that tail belongs to assemble_s (the unhidden
     # upload remainder), not to decode/stats attribution — assemble_s
     # drains every future, so exiting the executor afterwards is instant.
-    with ThreadPoolExecutor(
-            max_workers=2,
-            initializer=lambda: set_thread_priority(15)) as xfer:
-        with _stage("stacks_s"):
-            for idx, k in enumerate(names):
-                first = sorted(scenes[k], key=_exposure_of)[0]
-                h, w = video_mod.probe_geometry(first)
-                shape = (len(scenes[k]), h, w, cfg.num_of_chs)
-                if pool is None:
-                    pool = _scene_stack_pool(shape, ftype)
-                # reusing a buffer pair requires its previous scene's
-                # uploads to have drained (the device holds copies once
-                # done)
-                if idx >= len(pool):
-                    for f in scene_futs[idx - len(pool)]:
-                        f.result()
-                stacks = pool[idx % len(pool)]
-                if stacks[0].shape != shape:
-                    raise ValueError(
-                        f"batch_video_to_hdr: scene {k!r} has geometry "
-                        f"{shape}, expected {stacks[0].shape} from "
-                        f"{names[0]!r}; all scenes in a batch must share "
-                        "frame geometry and exposure count")
-                futs: list = []
-                _, _, exposures_np, paths = videos_to_stacks(
-                    scenes[k], cfg, stacks=stacks,
-                    on_video=lambda i, v, s, futs=futs: futs.append(
-                        xfer.submit(_upload, v, s)))
-                scene_futs.append(futs)
-                scene_exposures.append(exposures_np)
-                scene_paths.append(paths)
+    pool_key = None
+    try:
+        with ThreadPoolExecutor(
+                max_workers=2,
+                initializer=lambda: set_thread_priority(15)) as xfer:
+            with _stage("stacks_s"):
+                for idx, k in enumerate(names):
+                    first = sorted(scenes[k], key=_exposure_of)[0]
+                    h, w = video_mod.probe_geometry(first)
+                    shape = (len(scenes[k]), h, w, cfg.num_of_chs)
+                    if pool is None:
+                        pool_key, pool = _checkout_scene_stack_pool(shape,
+                                                                    ftype)
+                    # reusing a buffer pair requires its previous scene's
+                    # uploads to have drained (the device holds copies once
+                    # done)
+                    if idx >= len(pool):
+                        for f in scene_futs[idx - len(pool)]:
+                            f.result()
+                    stacks = pool[idx % len(pool)]
+                    if stacks[0].shape != shape:
+                        raise ValueError(
+                            f"batch_video_to_hdr: scene {k!r} has geometry "
+                            f"{shape}, expected {stacks[0].shape} from "
+                            f"{names[0]!r}; all scenes in a batch must "
+                            "share frame geometry and exposure count")
+                    futs: list = []
+                    _, _, exposures_np, paths = videos_to_stacks(
+                        scenes[k], cfg, stacks=stacks,
+                        on_video=lambda i, v, s, futs=futs: futs.append(
+                            xfer.submit(_upload, v, s)))
+                    scene_futs.append(futs)
+                    scene_exposures.append(exposures_np)
+                    scene_paths.append(paths)
 
-        # scene_exposures is filename-derived too (videos_to_stacks sorts
-        # by _exposure_of), so the pre-check above already guarantees
-        # agreement — no second check can fire
-        exposures = jnp.asarray(scene_exposures[0])
+            # scene_exposures is filename-derived too (videos_to_stacks
+            # sorts by _exposure_of), so the pre-check above already
+            # guarantees agreement — no second check can fire
+            exposures = jnp.asarray(scene_exposures[0])
 
-        with _stage("assemble_s"):
-            per_scene = []
-            for futs in scene_futs:
-                pairs = [f.result() for f in futs]
-                per_scene.append((jnp.stack([p[0] for p in pairs]),
-                                  jnp.stack([p[1] for p in pairs])))
-            batch_val = jnp.stack([v for v, _ in per_scene])
-            batch_std = jnp.stack([s for _, s in per_scene])
-            del per_scene
-            batch_val.block_until_ready()
+            with _stage("assemble_s"):
+                per_scene = []
+                for futs in scene_futs:
+                    pairs = [f.result() for f in futs]
+                    per_scene.append((jnp.stack([p[0] for p in pairs]),
+                                      jnp.stack([p[1] for p in pairs])))
+                batch_val = jnp.stack([v for v, _ in per_scene])
+                batch_std = jnp.stack([s for _, s in per_scene])
+                del per_scene
+                batch_val.block_until_ready()
+    finally:
+        # executor exit joined the upload workers, so the buffers are
+        # quiescent — safe to hand to the next (possibly concurrent) call
+        if pool_key is not None:
+            _return_scene_stack_pool(pool_key, pool)
     log.info("batch_video_to_hdr: %d scenes staged", len(names))
 
     with _stage("merge_s"):

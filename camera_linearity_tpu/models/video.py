@@ -76,27 +76,50 @@ def _frame_batches(file_paths: List[Path], batch_size: int
         yield np.stack(batch)
 
 
-_HOST_BUFFERS: Dict[tuple, tuple] = {}
+# Warm-buffer cache: geometry key -> list of idle (decode pool, moment
+# accumulators) sets.  Checkout REMOVES a set (so two concurrent host-
+# backend statistics runs of the same geometry never decode into — or,
+# worse, ACCUMULATE into — each other's buffers); return puts it back
+# warm for the next call.  Bounded: a 4K decode pool is ~1.6 GB.
+_HOST_BUFFERS: Dict[tuple, list] = {}
+_HOST_BUFFERS_LOCK = threading.Lock()
+_MAX_CACHED_GEOMETRIES = 2
 
 
-def _host_buffers(batch_size: int, height: int, width: int, chs: int):
-    """Process-global decode pool + moment accumulators per frame geometry.
+def _checkout_host_buffers(batch_size: int, height: int, width: int,
+                           chs: int):
+    """Check out an EXCLUSIVE decode pool + moment-accumulator pair.
 
-    Allocated once per geometry as dedicated prefaulted mmaps
-    (``native.mmap_buffer``) and recycled across calls: the brk heap's
-    first-touch fault rate on virtualized hosts is pathological (~0.09 GB/s
-    vs ~7 GB/s warm), so the GBs of staging the host statistics path needs
-    must never fault inside the decode loop.  The accumulators are zeroed
-    per run by HostMoments.
+    Allocated as dedicated prefaulted mmaps (``native.mmap_buffer``) and
+    recycled across calls: the brk heap's first-touch fault rate on
+    virtualized hosts is pathological (~0.09 GB/s vs ~7 GB/s warm), so the
+    GBs of staging the host statistics path needs must never fault inside
+    the decode loop.  The accumulators are zeroed per run by HostMoments.
+    Callers return the set via ``_return_host_buffers`` when the run's
+    finalize has read the accumulators.
     """
     key = (batch_size, height, width, chs)
-    if key not in _HOST_BUFFERS:
-        pool = [native.mmap_buffer((batch_size, height, width, chs),
-                                   np.uint8) for _ in range(4)]
-        bufs = (native.mmap_buffer((height, width, chs), np.uint64),
-                native.mmap_buffer((height, width, chs), np.uint64))
-        _HOST_BUFFERS[key] = (pool, bufs)
-    return _HOST_BUFFERS[key]
+    with _HOST_BUFFERS_LOCK:
+        idle = _HOST_BUFFERS.get(key)
+        if idle:
+            buffers = idle.pop()
+            if not idle:
+                del _HOST_BUFFERS[key]
+            return key, buffers
+    pool = [native.mmap_buffer((batch_size, height, width, chs),
+                               np.uint8) for _ in range(4)]
+    bufs = (native.mmap_buffer((height, width, chs), np.uint64),
+            native.mmap_buffer((height, width, chs), np.uint64))
+    return key, (pool, bufs)
+
+
+def _return_host_buffers(key, buffers) -> None:
+    with _HOST_BUFFERS_LOCK:
+        _HOST_BUFFERS.setdefault(key, []).append(buffers)
+        while len(_HOST_BUFFERS) > _MAX_CACHED_GEOMETRIES:
+            # evict an arbitrary other geometry (dict order = insertion)
+            oldest = next(k for k in _HOST_BUFFERS if k != key)
+            del _HOST_BUFFERS[oldest]
 
 
 def _frame_batches_into(file_paths: List[Path], batch_size: int,
@@ -284,8 +307,8 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
         native.tune_host_allocator()
         chs = config.num_of_chs
         with _stage("buffers_s"):
-            pool, bufs = _host_buffers(min(batch_size, 16), height, width,
-                                       chs)
+            buf_key, (pool, bufs) = _checkout_host_buffers(
+                min(batch_size, 16), height, width, chs)
         acc = native.HostMoments((height, width, chs), 1.0 / max_dn,
                                  _buffers=bufs)
         for batch in _prefetch(_frame_batches_into(
@@ -296,6 +319,12 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
         with _stage("finalize_s"):
             mean_np, std_np = acc.finalize(use_std=use_std, dtype=dtype,
                                            out=out)
+        # Return only on CLEAN completion: finalize has read the
+        # accumulators and the prefetch producer is exhausted.  On an
+        # exception the abandoned producer thread may still be decoding
+        # into the pool — leaking the set is safe, handing it to another
+        # call mid-write is not.
+        _return_host_buffers(buf_key, (pool, bufs))
         if use_std and std_np is None and out is not None:
             # <2 frames: no std exists — zero the caller's slice rather
             # than leaving np.empty garbage to flow into a merge

@@ -124,8 +124,14 @@ _NTHREADS = min(16, os.cpu_count() or 1)
 
 
 def _build(lib_path: Path) -> bool:
+    # Compile to a process-private temp name and os.rename() into place:
+    # rename is atomic on POSIX, so a concurrent first-use in another
+    # process either sees no file (and builds its own temp) or a COMPLETE
+    # lib — never a half-written one mid-g++ (CDLL of a truncated ELF
+    # fails and would silently pin that process to the NumPy fallback).
+    tmp = lib_path.with_name(f"{lib_path.stem}.tmp{os.getpid()}.so")
     base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-            str(_SRC), "-o", str(lib_path)]
+            str(_SRC), "-o", str(tmp)]
     # -march=native vectorizes the u8 moment accumulation ~1.4x wider
     # (AVX2 vs baseline SSE2); fall back to the portable build where the
     # compiler rejects it
@@ -133,10 +139,29 @@ def _build(lib_path: Path) -> bool:
         try:
             subprocess.run(cmd, check=True, capture_output=True,
                            timeout=120)
+            os.replace(tmp, lib_path)
+            _prune_stale_libs(lib_path)
             return True
         except (subprocess.SubprocessError, FileNotFoundError, OSError):
             continue
+    try:
+        tmp.unlink(missing_ok=True)
+    except OSError:
+        pass
     return False
+
+
+def _prune_stale_libs(keep: Path) -> None:
+    """Drop libs built for dead source/host hashes (they accumulate one
+    per code change otherwise); best-effort — a lib mapped by a running
+    process keeps working after unlink on POSIX."""
+    for p in keep.parent.glob("_stager-*.so"):
+        # another process's in-flight temp build is not stale
+        if p != keep and ".tmp" not in p.name:
+            try:
+                p.unlink()
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:

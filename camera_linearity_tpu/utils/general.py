@@ -13,8 +13,33 @@ Array = jnp.ndarray
 __all__ = [
     "is_broadcastable", "choose_evenly_spaced_points", "predict_output_shape",
     "map_linearity_limits", "interpolate_data", "stage_to_device",
-    "set_thread_priority",
+    "set_thread_priority", "device_attach_within",
 ]
+
+
+def device_attach_within(timeout_s: float) -> bool:
+    """Bounded device-attach probe.
+
+    A dead device tunnel makes the first jax device call block FOREVER
+    (observed: the relay process died mid-round and ``jax.devices()`` hung
+    past a 10-minute timeout).  Attaching on a daemon thread bounds the
+    wait so diagnostics (``doctor``) and scoring runs (``bench.py``) emit
+    a structured 'tunnel down' message instead of hanging until an
+    external kill.  NOTE: on timeout the attach thread stays stuck in
+    native code — the process must not later call into jax and should
+    exit via ``os._exit`` (a normal interpreter exit would join it).
+    """
+    import threading
+    ok: list = []
+
+    def attach():
+        import jax
+        ok.append(len(jax.devices()) > 0)
+
+    t = threading.Thread(target=attach, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
 
 
 def set_thread_priority(nice: int) -> bool:

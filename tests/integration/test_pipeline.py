@@ -159,3 +159,81 @@ def test_batch_video_to_hdr_rejects_mismatched_exposures(scene_videos,
     with pytest.raises(ValueError, match="scene 'b'.*exposure"):
         pipeline.batch_video_to_hdr({"a": paths, "b": other},
                                     jnp.asarray(icrf))
+
+
+def test_batch_video_to_hdr_rejects_empty_scenes():
+    icrf = jnp.asarray(np.linspace(0, 1, 256)[:, None].repeat(3, 1))
+    with pytest.raises(ValueError, match="scenes is empty"):
+        pipeline.batch_video_to_hdr({}, icrf)
+    with pytest.raises(ValueError, match="scene 'a' has no videos"):
+        pipeline.batch_video_to_hdr({"a": []}, icrf)
+
+
+def test_scene_stack_pool_checkout_is_exclusive():
+    """Concurrent checkouts of the SAME geometry must get DISTINCT buffer
+    pairs (round-3 advisor finding: the shared dict handed two concurrent
+    batch_video_to_hdr calls the same mmap pair, which then decoded and
+    finalized into each other's scene statistics)."""
+    shape, dt = (2, 8, 8, 3), np.float64
+    k1, p1 = pipeline._checkout_scene_stack_pool(shape, dt)
+    k2, p2 = pipeline._checkout_scene_stack_pool(shape, dt)
+    ids1 = {id(b) for pair in p1 for b in pair}
+    ids2 = {id(b) for pair in p2 for b in pair}
+    assert not ids1 & ids2
+    pipeline._return_scene_stack_pool(k1, p1)
+    pipeline._return_scene_stack_pool(k2, p2)
+    # a fresh checkout reuses a returned (warm) pool rather than allocating
+    _, p3 = pipeline._checkout_scene_stack_pool(shape, dt)
+    assert {id(b) for pair in p3 for b in pair} & (ids1 | ids2)
+
+
+def test_scene_stack_pool_bounds_cached_geometries():
+    pipeline._SCENE_STACKS.clear()
+    keys = []
+    for n in (2, 3, 4):
+        k, p = pipeline._checkout_scene_stack_pool((n, 4, 4, 1), np.float64)
+        pipeline._return_scene_stack_pool(k, p)
+        keys.append(k)
+    assert len(pipeline._SCENE_STACKS) <= pipeline._MAX_CACHED_GEOMETRIES
+    # most recently returned geometries survive
+    assert keys[-1] in pipeline._SCENE_STACKS
+
+
+def test_concurrent_batch_video_to_hdr_is_isolated(scene_videos, tmp_path,
+                                                   rng):
+    """Two concurrent batch_video_to_hdr calls with the same geometry must
+    not corrupt each other (round-3 advisor finding — and the deeper bug:
+    video._host_buffers shared the MOMENT ACCUMULATORS, so concurrent
+    welford runs summed into each other's statistics)."""
+    from concurrent.futures import ThreadPoolExecutor
+    import cv2 as cv
+    paths, _ = scene_videos
+    icrf = jnp.asarray(np.linspace(0, 1, 256)[:, None].repeat(3, 1))
+    expected = np.asarray(
+        pipeline.batch_video_to_hdr({"s": paths}, icrf)["s"].measurand.val)
+    # a second scene with distinct content, same geometry/exposures
+    other_dir = tmp_path / "bright"
+    other_dir.mkdir()
+    base = rng.uniform(0.6, 0.9, (24, 32, 3))
+    other = []
+    for ms in (4, 8, 16):
+        img = np.clip(base * (ms / 16), 0, 1)
+        frames = np.clip(img[None] + rng.normal(0, 0.02, (30, 24, 32, 3)),
+                         0, 1)
+        u8 = np.around(frames * 255).astype(np.uint8)
+        p = other_dir / f"scene {ms}ms.avi"
+        w = cv.VideoWriter(str(p), cv.VideoWriter_fourcc(*"FFV1"), 10,
+                           (32, 24))
+        for f in u8:
+            w.write(f)
+        w.release()
+        other.append(p)
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(pipeline.batch_video_to_hdr, {"s": paths}, icrf)
+        f2 = ex.submit(pipeline.batch_video_to_hdr, {"s": other}, icrf)
+        r1, r2 = f1.result(), f2.result()
+    np.testing.assert_allclose(
+        np.asarray(r1["s"].measurand.val), expected,
+        err_msg="concurrent run diverged from the serial result")
+    assert abs(float(np.asarray(r2["s"].measurand.val).mean())
+               - float(expected.mean())) > 1e-3
