@@ -10,9 +10,22 @@ merge), config 4 (3-channel population-batched DE calibration wall-clock;
 vs_baseline = speedup over the measured SciPy serial reference divided by
 the 10x target), config 5 (video->HDR: see benchmarks/bench_video.py for
 the full-size decode-overlapped run recorded in benchmarks/RESULTS.md).
+
+Tunnel resilience (the round-3 lesson: ONE dead 600s attach probe lost
+every metric of the scoring run): the parent process never touches jax.
+It spawns a child per attempt; the child makes a bounded attach probe and
+runs the still-missing metrics, streaming one JSON line each.  The parent
+enforces per-metric deadlines, re-spawns (with backoff) on attach failure
+or a mid-metric hang, retries each metric up to CL_BENCH_MAX_ATTEMPTS
+within the CL_BENCH_BUDGET wall budget, and always emits whatever subset
+succeeded — headline re-printed last.  Metrics run headline-FIRST inside
+the child so a flapping tunnel is most likely to lose auxiliary lines,
+never the headline.
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -69,10 +82,13 @@ def bench_config1():
                         jnp.float32)
     dtb = _time(lambda: hdr.merge_batch(batch, None, exposures, icrf,
                                         icrf_diff))
+    # a lone 0.26 MP stack cannot hide the ~8 ms tunnel dispatch; flag it
+    # so the single number reads correctly next to value_batched
     print(json.dumps({"metric": "config1_merge_gray_nostd", "unit": "MP/s",
                       "value": round(h * w / 1e6 / dt, 2),
                       "value_batched": round(k * h * w / 1e6 / dtb, 2),
-                      "batched_stacks": k}))
+                      "batched_stacks": k, "dispatch_bound": True}),
+          flush=True)
 
 
 def bench_config3():
@@ -108,7 +124,8 @@ def bench_config3():
         mid_percentage=0.05, kernel_size=3, icrf_base=base_j,
         icrf_diff_base=diff_base_j))
     print(json.dumps({"metric": "config3_merge_12bit_fused_corrections",
-                      "unit": "MP/s", "value": round(h * w / 1e6 / dt, 2)}))
+                      "unit": "MP/s", "value": round(h * w / 1e6 / dt, 2)}),
+          flush=True)
 
 
 def bench_config4():
@@ -145,7 +162,8 @@ def bench_config4():
                       "unit": "s", "value": round(warm, 3),
                       "speedup_vs_scipy": round(speedup, 1),
                       "vs_target_10x": round(speedup / 10.0, 2),
-                      "final_energies": [round(float(e), 4) for e in e1]}))
+                      "final_energies": [round(float(e), 4) for e in e1]}),
+          flush=True)
 
 
 def bench_config5():
@@ -160,7 +178,7 @@ def bench_config5():
         # scaled: same 4K frame geometry and full decode->stats->merge
         # stream, fewer frames/scenes (full-size numbers: RESULTS.md)
         out = bench_video.run(100, 2, 2160, 3840)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 def bench_config2_headline():
@@ -182,22 +200,65 @@ def bench_config2_headline():
         "value": round(mps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mps / 500.0, 4),
-    }))
+    }), flush=True)
+
+
+# Child execution order: headline FIRST (grab it while the tunnel is up),
+# then the cheap merges, then the long solves.  Canonical ARTIFACT order
+# keeps the headline last (the driver parses the final line).
+HEADLINE = "hdr_merge_val_std_throughput"
+BENCHES = {
+    HEADLINE: bench_config2_headline,
+    "config1_merge_gray_nostd": bench_config1,
+    "config3_merge_12bit_fused_corrections": bench_config3,
+    "config4_calibration_3ch_wall": bench_config4,
+    "config5_video_to_hdr_e2e": bench_config5,
+}
+CHILD_ORDER = list(BENCHES)
+ARTIFACT_ORDER = [m for m in BENCHES if m != HEADLINE] + [HEADLINE]
+
+
+def _child_main(metrics):
+    """Run inside the spawned child: bounded attach, then each metric.
+
+    Every line this prints is JSON; control events carry ``_event``.  On a
+    metric-level exception the error line still uses the metric's name so
+    the parent can count the attempt.  Exits via os._exit: a failed attach
+    leaves its probe thread stuck in native code, and a clean exit would
+    join it and hang.
+    """
+    fake = os.environ.get("CL_BENCH_FAKE")
+    if fake:
+        _run_fake(json.loads(fake), metrics)
+        os._exit(0)
+    timeout_s = float(os.environ.get("CL_BENCH_ATTACH_TIMEOUT", "300"))
+    t0 = time.time()
+    if not _device_attaches(timeout_s):
+        print(json.dumps({"_event": "attach_fail",
+                          "timeout_s": timeout_s}), flush=True)
+        os._exit(3)
+    print(json.dumps({"_event": "attach_ok",
+                      "attach_s": round(time.time() - t0, 1)}), flush=True)
+    for name in metrics:
+        try:
+            BENCHES[name]()
+        except Exception as e:  # noqa: BLE001 — never lose other metrics
+            print(json.dumps({"metric": name, "error":
+                              str(e).splitlines()[0][:200]}), flush=True)
+    os._exit(0)
 
 
 def _device_attaches(timeout_s: float) -> bool:
-    """Bounded device-attach probe.
-
-    A dead device tunnel makes the first jax call block FOREVER (observed:
-    the relay process died mid-round and `jax.devices()` hung past a
-    10-minute timeout).  Attaching on a daemon thread bounds the wait so a
-    scoring run emits a structured diagnostic instead of hanging until an
-    external kill loses the whole artifact."""
+    """Bounded device-attach probe (see utils.general.device_attach_within;
+    duplicated here so the child needs no package import before jax)."""
     import threading
     ok: list = []
 
     def attach():
         import jax
+        platform = os.environ.get("CL_BENCH_PLATFORM")
+        if platform:  # debug: run the whole bench on e.g. the CPU backend
+            jax.config.update("jax_platforms", platform)
         ok.append(len(jax.devices()) > 0)
 
     t = threading.Thread(target=attach, daemon=True)
@@ -206,30 +267,166 @@ def _device_attaches(timeout_s: float) -> bool:
     return bool(ok)
 
 
+def _run_fake(spec: dict, metrics) -> None:
+    """Deterministic child stand-in for orchestration tests (no device).
+
+    ``spec``: {"attach_fail_times": N, "counter": path, "metrics":
+    {name: "ok"|"error"|"hang"|"hang_once"}}.  The counter file carries
+    attach/hang attempt counts across child spawns.
+    """
+    def bump(key) -> int:
+        path = spec["counter"] + "." + key
+        n = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                n = int(f.read() or 0)
+        with open(path, "w") as f:
+            f.write(str(n + 1))
+        return n + 1
+
+    if bump("attach") <= spec.get("attach_fail_times", 0):
+        print(json.dumps({"_event": "attach_fail", "timeout_s": 0}),
+              flush=True)
+        os._exit(3)
+    print(json.dumps({"_event": "attach_ok", "attach_s": 0.0}), flush=True)
+    for name in metrics:
+        mode = spec.get("metrics", {}).get(name, "ok")
+        if mode == "hang" or (mode == "hang_once"
+                              and bump("hang_" + name) == 1):
+            time.sleep(3600)
+        if mode == "error":
+            print(json.dumps({"metric": name, "error": "fake failure"}),
+                  flush=True)
+        else:
+            print(json.dumps({"metric": name, "value": 1.0,
+                              "unit": "fake"}), flush=True)
+    os._exit(0)
+
+
+def _spawn_child(metrics):
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--run",
+         ",".join(metrics)],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+
+
+def _reader(pipe, q):
+    for line in pipe:
+        q.put(line)
+    q.put(None)
+
+
 def main():
-    timeout_s = float(os.environ.get("CL_BENCH_ATTACH_TIMEOUT", "600"))
-    if not _device_attaches(timeout_s):
-        err = (f"device attach did not complete within {timeout_s:.0f}s "
-               "(device tunnel down?)")
-        for name in ("config1_merge_gray_nostd",
-                     "config3_merge_12bit_fused_corrections",
-                     "config4_calibration_3ch_wall",
-                     "config5_video_to_hdr_e2e"):
-            print(json.dumps({"metric": name, "error": err}))
-        print(json.dumps({"metric": "hdr_merge_val_std_throughput",
-                          "error": err}), flush=True)
-        # the attach thread is stuck in native code; a normal interpreter
-        # exit would join it and hang anyway
-        os._exit(0)
-    for bench in (bench_config1, bench_config3, bench_config4,
-                  bench_config5):
+    budget_s = float(os.environ.get("CL_BENCH_BUDGET", "2700"))
+    attach_s = float(os.environ.get("CL_BENCH_ATTACH_TIMEOUT", "300"))
+    metric_s = float(os.environ.get("CL_BENCH_METRIC_TIMEOUT", "900"))
+    max_attempts = int(os.environ.get("CL_BENCH_MAX_ATTEMPTS", "3"))
+    deadline = time.time() + budget_s
+
+    import queue
+    import threading
+    results: dict = {}
+    attempts = {m: 0 for m in CHILD_ORDER}
+    attach_failures = 0
+
+    def emit(name, line):
+        results[name] = line.rstrip()
+        print(results[name], flush=True)  # kill-insurance: stream as final
+
+    while time.time() < deadline:
+        pending = [m for m in CHILD_ORDER
+                   if m not in results and attempts[m] < max_attempts]
+        if not pending:
+            break
+        child = _spawn_child(pending)
+        q: "queue.Queue" = queue.Queue()
+        threading.Thread(target=_reader, args=(child.stdout, q),
+                         daemon=True).start()
+        # first line is the attach event: allow the probe timeout + slack
+        line_deadline = time.time() + attach_s + 60
+        attached = False
+        running = None  # metric currently charged for a hang
         try:
-            bench()
-        except Exception as e:  # noqa: BLE001 — never lose the headline
-            print(json.dumps({"metric": bench.__name__, "error":
-                              str(e).splitlines()[0][:200]}))
-    bench_config2_headline()
+            while True:
+                try:
+                    line = q.get(timeout=max(
+                        1.0, min(line_deadline, deadline) - time.time()))
+                except queue.Empty:
+                    # hang: attach probe itself wedged, or a metric stalled
+                    victim = running if attached else None
+                    if victim is not None:
+                        attempts[victim] += 1
+                        if attempts[victim] >= max_attempts:
+                            emit(victim, json.dumps(
+                                {"metric": victim, "error":
+                                 f"no result within {metric_s:.0f}s x"
+                                 f"{max_attempts} attempts (hang)"}))
+                    break
+                if line is None:  # child exited
+                    break
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # stray non-JSON noise from libraries
+                if rec.get("_event") == "attach_ok":
+                    attached = True
+                    running = pending[0]
+                    line_deadline = time.time() + metric_s
+                    continue
+                if rec.get("_event") == "attach_fail":
+                    break
+                name = rec.get("metric")
+                if name in BENCHES:
+                    if name in results:
+                        pass  # already final from an earlier attempt
+                    elif "error" in rec:
+                        attempts[name] += 1
+                        if attempts[name] >= max_attempts:
+                            emit(name, line)
+                    else:
+                        emit(name, line)
+                    # the child runs ITS list in order, whatever the
+                    # parent's bookkeeping says — track its position
+                    i = pending.index(name)
+                    running = pending[i + 1] if i + 1 < len(pending) \
+                        else None
+                    if running is None:
+                        break
+                    line_deadline = time.time() + metric_s
+        finally:
+            try:
+                child.kill()
+            except OSError:
+                pass
+        if all(m in results for m in CHILD_ORDER):
+            break
+        if not attached:
+            attach_failures += 1
+            # the tunnel flaps on minute scales: back off, then retry for
+            # as much of the budget as remains
+            cap = float(os.environ.get("CL_BENCH_BACKOFF_CAP", "300"))
+            wait = min(60.0 * attach_failures, cap,
+                       max(0.0, deadline - time.time()))
+            if wait <= 0:
+                break
+            time.sleep(wait)
+
+    err = (f"no result within the {budget_s:.0f}s bench budget "
+           f"({attach_failures} attach timeouts — device tunnel down?)")
+    for name in ARTIFACT_ORDER:
+        if name not in results:
+            results[name] = json.dumps({"metric": name, "error": err})
+            print(results[name], flush=True)
+    # canonical artifact order, headline LAST (the driver parses the final
+    # line); earlier streamed lines were kill-insurance duplicates
+    for name in ARTIFACT_ORDER:
+        print(results[name], flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        _child_main([m for m in sys.argv[2].split(",") if m in BENCHES])
+    else:
+        main()
