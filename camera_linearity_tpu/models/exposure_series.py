@@ -90,6 +90,36 @@ def _pair_stats(short_val: Array, long_val: Array,
     return abs_stats, rel_stats
 
 
+@partial(jax.jit, static_argnames=("use_std",))
+def _pair_stats_all(stack_val: Array, stack_std: Optional[Array],
+                    short_idx: Array, long_idx: Array, ratios: Array,
+                    use_std: bool):
+    """All K exposure-pair statistics in ONE device call.
+
+    The reference loops Python-side over its ExposurePair list
+    (exposure_series.py:443-446); dispatching one jitted call per pair
+    costs ~8 ms of tunnel round-trip each — 45 pairs of a 10-exposure
+    series is ~0.4 s of pure dispatch.  Here the pairs ride a
+    ``lax.map`` over (short, long) gathers from the (N, H, W, C) stack;
+    ``batch_size`` bounds live memory at a few pair-planes instead of
+    materializing all K difference images at once.
+    """
+    from ..ops.uncertainty import scale_difference
+
+    def one(args):
+        si, li, r = args
+        sv = stack_val[si]
+        lv = stack_val[li]
+        s_std = stack_std[si] if use_std else None
+        l_std = stack_std[li] if use_std else None
+        (av, astd), (rv, rstd) = scale_difference(
+            sv, s_std, lv, l_std, r.astype(stack_val.dtype))
+        return (stats_ops.dimension_statistics(av, astd, axis=(0, 1)),
+                stats_ops.dimension_statistics(rv, rstd, axis=(0, 1)))
+
+    return jax.lax.map(one, (short_idx, long_idx, ratios), batch_size=8)
+
+
 class ExposureSeries:
     """Manager of an exposure-matched image stack
     (exposure_series.py:79-476)."""
@@ -343,8 +373,10 @@ class ExposureSeries:
         """Per-pair linearity statistics (exposure_series.py:421-446).
 
         Thresholds each image via ICRF-mapped limits, then computes the
-        absolute/relative difference statistics for every exposure pair with
-        a jitted batch kernel (compiled once, applied per pair).
+        absolute/relative difference statistics for EVERY exposure pair in
+        one jitted device call (``_pair_stats_all``): the pairs index into
+        the materialized (N, H, W, C) stack and a ``lax.map`` scans them,
+        so a K-pair series costs O(1) dispatches instead of K.
         """
         cfg = self.config
         lower, upper = gf.map_linearity_limits(linearity_limit,
@@ -358,18 +390,44 @@ class ExposureSeries:
 
         if self.exposure_pairs is None:
             self.initialize_exposure_pairs()
+        if not self.exposure_pairs:
+            return
 
-        for pair in self.exposure_pairs:
-            sm = pair.short_exposure.measurand
-            lm = pair.long_exposure.measurand
-            abs_stats, rel_stats = _pair_stats(
-                sm.val, lm.val,
-                sm.std if use_std else None,
-                lm.std if use_std else None,
-                jnp.asarray(pair.exposure_ratio, dtype=sm.val.dtype),
-                use_std and sm.std is not None)
-            pair.absolute_stats = abs_stats
-            pair.relative_stats = rel_stats
+        sets = self.input_image_sets
+        index_of = {id(s): i for i, s in enumerate(sets)}
+        if any(id(p.short_exposure) not in index_of
+               or id(p.long_exposure) not in index_of
+               for p in self.exposure_pairs):
+            # hand-built pairs referencing sets outside this series: fall
+            # back to one dispatch per pair
+            for pair in self.exposure_pairs:
+                sm = pair.short_exposure.measurand
+                lm = pair.long_exposure.measurand
+                pair.absolute_stats, pair.relative_stats = _pair_stats(
+                    sm.val, lm.val,
+                    sm.std if use_std else None,
+                    lm.std if use_std else None,
+                    jnp.asarray(pair.exposure_ratio, dtype=sm.val.dtype),
+                    use_std and sm.std is not None)
+            return
+        short_idx = np.array([index_of[id(p.short_exposure)]
+                              for p in self.exposure_pairs], np.int32)
+        long_idx = np.array([index_of[id(p.long_exposure)]
+                             for p in self.exposure_pairs], np.int32)
+        ratios = np.array([p.exposure_ratio for p in self.exposure_pairs])
+
+        effective_std = use_std and all(s.measurand.std is not None
+                                        for s in sets)
+        stack_val, stack_std, _ = self.stack(with_std=effective_std)
+        abs_all, rel_all = _pair_stats_all(
+            stack_val, stack_std, jnp.asarray(short_idx),
+            jnp.asarray(long_idx), jnp.asarray(ratios), effective_std)
+
+        for k, pair in enumerate(self.exposure_pairs):
+            pair.absolute_stats = {key: (None if v is None else v[k])
+                                   for key, v in abs_all.items()}
+            pair.relative_stats = {key: (None if v is None else v[k])
+                                   for key, v in rel_all.items()}
 
     def collect_exposure_pair_stats(self) -> Tuple[Dict, Dict]:
         """Stack per-pair stats into (pairs, channels) arrays
