@@ -121,6 +121,38 @@ def cmd_calibrate(args) -> int:
     from .utils.observability import get_logger, timed
     log = get_logger()
     cfg = _load_config(args)
+    if args.strict:
+        # host float64 parity mode: reproduces the reference's SciPy solve
+        # to the RNG draw (models/scipy_strict.py)
+        import numpy as _np
+        from .models import scipy_strict
+        stacks, stds, exposures, _ratio = \
+            cal.initialize_channel_image_stacks(Path(args.images),
+                                                args.std, args.spacing,
+                                                config=cfg)
+        pca = _np.stack([io.read_txt_to_array(cfg.pca_files[c],
+                                              cfg.data_path)
+                         for c in range(cfg.num_of_chs)])
+        mean = _np.stack([io.read_txt_to_array(cfg.mean_icrf_files[c],
+                                               cfg.data_path)
+                          for c in range(cfg.num_of_chs)])
+        with timed("calibration_strict", log):
+            icrf, e0, e1, iters = scipy_strict.calibration_strict(
+                args.lower, args.upper,
+                channel_stacks=(_np.asarray(stacks, _np.int32),
+                                None if stds is None else _np.asarray(stds),
+                                _np.asarray(exposures)),
+                pca_arrays=pca, mean_icrf_arrays=mean,
+                rng_seed=args.seed, maxiter=args.maxiter, config=cfg)
+        log.info("strict mode: %s iterations per channel", iters)
+        log.info("initial energies: %s", e0)
+        log.info("final energies:   %s", e1)
+        out = args.out or (Path(cfg.data_path or ".")
+                           / (cfg.icrf_calibrated_file
+                              or "ICRF_calibrated.txt"))
+        io.save_txt(out, icrf)
+        log.info("wrote %s", out)
+        return 0
     with timed("calibration", log):
         icrf, e0, e1, ratio, base = cal.calibration(
             args.lower, args.upper, data_spacing=args.spacing,
@@ -278,6 +310,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seed", type=int, default=7)
     c.add_argument("--std", action="store_true")
     c.add_argument("--checkpoint")
+    c.add_argument("--strict", action="store_true",
+                   help="host float64 parity mode: reproduce the "
+                        "reference's seeded SciPy solve to the RNG draw")
     c.set_defaults(fn=cmd_calibrate)
 
     v = sub.add_parser("video", help="video mean/std frames")

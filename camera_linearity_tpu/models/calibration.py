@@ -193,6 +193,13 @@ def differential_evolution(energy_fn: Callable[[Array], Array],
         initial_energy=jnp.min(energies0))
 
 
+# User-declared solver cache keys -> the first energy callable registered
+# under each key.  "Same key" is a promise that the callable computes the
+# same function: repeated ad-hoc solves (fresh closures each call) reuse
+# the jitted solver instead of re-tracing it (~2-4 s per trace).
+_ENERGY_KEY_REGISTRY: dict = {}
+
+
 @lru_cache(maxsize=64)
 def _make_batched_solver(energy_fn: Callable, population_energy: bool,
                          recombination: float, m_lo: float, m_hi: float,
@@ -277,7 +284,8 @@ def differential_evolution_batched(energy_fn: Callable,
                                    mesh=None, pop_axis: str = "data",
                                    checkpoint_path=None,
                                    checkpoint_every: int = 0,
-                                   population_energy: bool = False):
+                                   population_energy: bool = False,
+                                   cache_key=None):
     """All channels' DE solves as ONE device computation.
 
     ``energy_fn(params, *per_channel_data) -> scalar``; every element of
@@ -299,7 +307,16 @@ def differential_evolution_batched(energy_fn: Callable,
     generation and energy evaluation run population-parallel on each chip
     and only the generation's scalar reductions (argmin/mean/std of the
     energies) cross ICI.
+
+    The jitted solver caches on ``energy_fn``'s identity; a fresh closure
+    per call re-traces it (~2-4 s).  Pass a hashable ``cache_key`` to
+    declare "any callable under this key computes the same function" —
+    repeated ad-hoc solves then reuse the compiled solver (the FIRST
+    callable registered under the key stays the traced one).
     """
+    if cache_key is not None:
+        energy_fn = _ENERGY_KEY_REGISTRY.setdefault(
+            (cache_key, bool(population_energy)), energy_fn)
     d = num_params
     s = max(5, popsize * d)
     if mesh is not None:

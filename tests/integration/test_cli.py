@@ -49,7 +49,7 @@ def test_cli_linearity(capture_dir, tmp_path):
     assert (out / "linearity_relative_0.png").exists()
 
 
-def test_cli_calibrate(tmp_path, rng):
+def _calibration_workspace(tmp_path, rng):
     # synthetic gamma stack + PCA files + config.ini; data files live next
     # to the ini (from_ini sets data_path to the ini's directory)
     data = tmp_path
@@ -84,6 +84,11 @@ number of principal components = 3
 principal components = pca_b.txt,pca_g.txt,pca_r.txt
 mean ICRFs = mean_b.txt,mean_g.txt,mean_r.txt
 """)
+    return ini, images
+
+
+def test_cli_calibrate(tmp_path, rng):
+    ini, images = _calibration_workspace(tmp_path, rng)
     out_file = tmp_path / "icrf_solved.txt"
     rc = main(["--config", str(ini), "calibrate", "--images", str(images),
                "--out", str(out_file), "--spacing", "1",
@@ -97,6 +102,20 @@ mean ICRFs = mean_b.txt,mean_g.txt,mean_r.txt
     base = np.loadtxt(tmp_path / "icrf_solved_base.txt")
     assert base.shape == (256, 3)
     np.testing.assert_allclose(base[0], 0.0, atol=1e-12)
+
+
+def test_cli_calibrate_strict(tmp_path, rng):
+    """--strict routes through the host float64 SciPy-parity solver
+    (models/scipy_strict.py) end to end."""
+    ini, images = _calibration_workspace(tmp_path, rng)
+    out_file = tmp_path / "icrf_strict.txt"
+    rc = main(["--config", str(ini), "calibrate", "--images", str(images),
+               "--out", str(out_file), "--spacing", "1",
+               "--maxiter", "2", "--strict"])
+    assert rc == 0
+    solved = np.loadtxt(out_file)
+    assert solved.shape == (256, 3)
+    assert solved.min() >= 0.0 and solved.max() <= 1.0
 
 
 def test_cli_dorf(tmp_path):

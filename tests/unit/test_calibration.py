@@ -34,6 +34,32 @@ def test_de_respects_bounds_and_x0():
     np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0, 1.0], atol=0.05)
 
 
+def test_de_batched_cache_key_avoids_retrace():
+    """A second ad-hoc solve with a FRESH closure but the same cache_key
+    must reuse the compiled solver: the new closure is never traced (never
+    even called), and the result is identical (VERDICT r3 item 5)."""
+    calls = {"a": 0, "b": 0}
+
+    def make_energy(tag):
+        def energy(x):
+            calls[tag] += 1  # trace-time counter: jit calls this once
+            return jnp.sum((x - 0.25) ** 2)
+        return energy
+
+    kw = dict(num_channels=2, num_params=3,
+              bounds_lower=np.full(3, -1.0), bounds_upper=np.full(3, 1.0),
+              popsize=4, maxiter=5, seed=2, cache_key="sphere-adhoc-test")
+    res_a, _ = cal.differential_evolution_batched(
+        make_energy("a"), (), **kw)
+    assert calls["a"] > 0
+    res_b, _ = cal.differential_evolution_batched(
+        make_energy("b"), (), **kw)
+    assert calls["b"] == 0, "same cache_key must not re-trace"
+    np.testing.assert_array_equal(np.asarray(res_a.x), np.asarray(res_b.x))
+    np.testing.assert_array_equal(np.asarray(res_a.energies),
+                                  np.asarray(res_b.energies))
+
+
 def test_de_energy_limit_stops_early():
     energy = lambda x: jnp.sum(x ** 2)  # noqa: E731
     res = cal.differential_evolution(energy, 2, np.full(2, -1.0),
