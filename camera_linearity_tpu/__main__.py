@@ -282,6 +282,16 @@ def build_parser() -> argparse.ArgumentParser:
                                 formatter_class=
                                 argparse.RawDescriptionHelpFormatter)
     p.add_argument("--config", help="path to a config.ini")
+    p.add_argument("--coordinator",
+                   help="multi-host: coordinator address host:port "
+                        "(or env CL_COORDINATOR_ADDRESS); see "
+                        "parallel/distributed.py")
+    p.add_argument("--num-processes", type=int,
+                   help="multi-host: total process count "
+                        "(or env CL_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int,
+                   help="multi-host: this process's id "
+                        "(or env CL_PROCESS_ID)")
     sub = p.add_subparsers(dest="command", required=True)
 
     m = sub.add_parser("merge", help="HDR-merge exposure stacks")
@@ -333,6 +343,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # multi-host wiring must precede the first backend-touching jax call;
+    # with no --coordinator/--num-processes/--process-id args and no CL_*
+    # environment this is a no-op (single-process mode)
+    from .parallel import distributed
+    distributed.initialize(coordinator_address=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
     return args.fn(args)
 
 

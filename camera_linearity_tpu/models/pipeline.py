@@ -28,7 +28,8 @@ from . import video as video_mod
 Array = jnp.ndarray
 
 __all__ = ["videos_to_exposure_series", "video_to_hdr",
-           "batch_video_to_hdr", "prewarm_batch_video_to_hdr"]
+           "batch_video_to_hdr", "batch_video_to_hdr_distributed",
+           "prewarm_batch_video_to_hdr"]
 
 
 def _exposure_of(path: Path) -> float:
@@ -225,6 +226,111 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
     return {"h2d_mbps": round(h2d_mbps, 1)}
 
 
+def _validate_scene_batch(scenes: Dict[str, Sequence[Path]],
+                          names: Sequence[str]) -> list:
+    """Shared batch validation: non-empty scenes with matching exposure
+    sets (filename-derived), checked BEFORE any decode work so a
+    mismatched batch fails in milliseconds, not after minutes of decoding.
+    The batched merge applies ONE exposure vector to every scene; a
+    differing scene would merge silently wrong."""
+    if not names:
+        raise ValueError("batch_video_to_hdr: scenes is empty; pass at "
+                         "least one scene name -> video paths entry")
+    for name in names:
+        if not scenes[name]:
+            raise ValueError(f"batch_video_to_hdr: scene {name!r} has no "
+                             "videos")
+    exp0 = sorted(_exposure_of(p) for p in scenes[names[0]])
+    for name in names[1:]:
+        exp = sorted(_exposure_of(p) for p in scenes[name])
+        if exp != exp0:
+            raise ValueError(
+                f"batch_video_to_hdr: scene {name!r} has exposures "
+                f"{exp} != {names[0]!r}'s {exp0}; merge scenes with "
+                "differing exposure sets separately (video_to_hdr)")
+    return exp0
+
+
+def batch_video_to_hdr_distributed(scenes: Dict[str, Sequence[Path]],
+                                   ICRF: Array,
+                                   ICRF_diff: Optional[Array] = None,
+                                   config: CameraConfig = DEFAULT_CONFIG,
+                                   mesh=None) -> Dict[str, ImageSet]:
+    """Multi-host BASELINE config 5: the batch-of-scenes axis shards over
+    the mesh's ``data`` (DCN) axis, image rows over ``pixel`` (ICI).
+
+    Every process calls this with the SAME ``scenes`` dict (same insertion
+    order — it defines the scene axis); each process DECODES ONLY ITS OWN
+    contiguous block of scenes (host-local IO feeding its local device
+    shards via ``jax.make_array_from_process_local_data`` — no scene's
+    pixels ever cross DCN, because the merge is pointwise over pixels) and
+    the return value contains only this process's scenes.  The scene count
+    must divide evenly over the data axis.
+
+    Single-process (on a 1-process mesh) this is equivalent to
+    ``batch_video_to_hdr(..., mesh=...)`` minus the upload/decode overlap
+    machinery; the 2-process CPU integration test
+    (tests/integration/test_distributed.py) asserts numerical parity
+    against the single-process path.
+    """
+    from ..parallel import distributed as dist
+    from ..parallel import sharded
+    from ..ops.linearize import icrf_derivative
+    from ..utils.observability import stage as _stage
+    log = get_logger()
+    cfg = config
+    mesh = mesh if mesh is not None else dist.scene_mesh()
+    icrf_j = jnp.asarray(ICRF)
+    icrf_diff_j = jnp.asarray(ICRF_diff) if ICRF_diff is not None else \
+        icrf_derivative(icrf_j, cfg.bits)
+
+    names = list(scenes.keys())
+    _validate_scene_batch(scenes, names)
+    block = dist.local_scene_block(len(names), mesh)
+    local_names = names[block]
+    ftype = jax.dtypes.canonicalize_dtype(np.float64)
+
+    with _stage("stacks_s"):
+        val = std = exposures_np = None
+        scene_paths: list = []
+        for i, name in enumerate(local_names):
+            if val is None:
+                first = sorted(scenes[name], key=_exposure_of)[0]
+                h, w = video_mod.probe_geometry(first)
+                shape = (len(local_names), len(scenes[name]), h, w,
+                         cfg.num_of_chs)
+                val = np.empty(shape, ftype)
+                std = np.empty(shape, ftype)
+            _, _, exposures_np, paths = videos_to_stacks(
+                scenes[name], cfg, stacks=(val[i], std[i]))
+            scene_paths.append(paths)
+    log.info("batch_video_to_hdr_distributed: process %d/%d decoded "
+             "scenes %s", jax.process_index(), jax.process_count(),
+             local_names)
+
+    with _stage("assemble_s"):
+        gval = dist.global_scene_batch(val, mesh, len(names))
+        gstd = dist.global_scene_batch(std, mesh, len(names))
+        exposures = jnp.asarray(exposures_np)
+
+    with _stage("merge_s"):
+        out_val, out_std = sharded.merge_batch_sharded(
+            gval, gstd, exposures, icrf_j, icrf_diff_j, mesh)
+        lv = dist.fetch_local_scenes(out_val, mesh, block)
+        ls = dist.fetch_local_scenes(out_std, mesh, block)
+
+    results = {}
+    for i, name in enumerate(local_names):
+        first_path = scene_paths[i][0].with_suffix(".tif")
+        hdr_set = ImageSet(file_path=first_path,
+                           measurand=Measurand(jnp.asarray(lv[i]),
+                                               jnp.asarray(ls[i])),
+                           config=cfg)
+        hdr_set.is_hdr = True
+        results[name] = hdr_set
+    return results
+
+
 def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                        ICRF_diff: Optional[Array] = None,
                        config: CameraConfig = DEFAULT_CONFIG,
@@ -243,6 +349,12 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     (decode_s / stats_s / upload_s / assemble_s / merge_s ...) so the
     end-to-end wall is attributable from artifacts alone.
     """
+    if jax.process_count() > 1:
+        # multi-host runtime: scenes shard over the DCN data axis, each
+        # process decoding only its own block (see the distributed variant
+        # for the contract — notably, only local scenes are returned)
+        return batch_video_to_hdr_distributed(scenes, ICRF, ICRF_diff,
+                                              config, mesh)
     from concurrent.futures import ThreadPoolExecutor
     from ..ops.linearize import icrf_derivative
     from ..utils.general import set_thread_priority
@@ -254,13 +366,7 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
         icrf_derivative(icrf_j, cfg.bits)
 
     names = list(scenes.keys())
-    if not names:
-        raise ValueError("batch_video_to_hdr: scenes is empty; pass at "
-                         "least one scene name -> video paths entry")
-    for name in names:
-        if not scenes[name]:
-            raise ValueError(f"batch_video_to_hdr: scene {name!r} has no "
-                             "videos")
+    _validate_scene_batch(scenes, names)
     ftype = jax.dtypes.canonicalize_dtype(np.float64)
 
     from ..utils.general import stage_to_device
@@ -291,19 +397,6 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     # comes straight out of the decode thread (measured 2.6x decode
     # inflation in a 3 MB/s epoch); niced workers only soak up cycles
     # decode/stats aren't using.
-    # Exposures come from filenames — validate the whole batch BEFORE any
-    # decode work so a mismatched scene fails in milliseconds, not after
-    # minutes of decoding.  The batched merge applies ONE exposure vector
-    # to every scene; a differing scene would merge silently wrong.
-    exp0 = sorted(_exposure_of(p) for p in scenes[names[0]])
-    for name in names[1:]:
-        exp = sorted(_exposure_of(p) for p in scenes[name])
-        if exp != exp0:
-            raise ValueError(
-                f"batch_video_to_hdr: scene {name!r} has exposures "
-                f"{exp} != {names[0]!r}'s {exp0}; merge scenes with "
-                "differing exposure sets separately (video_to_hdr)")
-
     # The executor outlives the stacks_s stage: its shutdown blocks on
     # in-flight uploads, and that tail belongs to assemble_s (the unhidden
     # upload remainder), not to decode/stats attribution — assemble_s

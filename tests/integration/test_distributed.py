@@ -1,0 +1,100 @@
+"""Multi-host entry point: 2 real processes on localhost, CPU backend.
+
+SURVEY §5 "Distributed communication backend": the reference's only
+cross-worker parallelism is joblib channel processes (reference
+ICRF_calibration_exposure.py:383-386); the TPU build commits to
+``jax.distributed.initialize`` + DCN sharding for the batch-of-scenes
+axis.  This test launches two subprocess workers
+(tests/integration/_distributed_worker.py) that join one jax runtime
+(Gloo collectives), decode disjoint scene blocks host-locally, merge them
+as ONE globally-sharded batch, run an explicit cross-process psum and a
+population-sharded calibration step, and verify numerically against a
+single-device oracle.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = Path(__file__).with_name("_distributed_worker.py")
+REPO = Path(__file__).resolve().parents[2]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _write_scene_videos(root: Path, n_scenes: int = 4, n_exp: int = 3,
+                        h: int = 24, w: int = 32, frames: int = 6) -> None:
+    import cv2 as cv
+    rng = np.random.default_rng(42)
+    for k in range(n_scenes):
+        sdir = root / f"scene{k}"
+        sdir.mkdir(parents=True)
+        base = rng.uniform(0.1, 0.8, (h, w, 3))
+        for i, ms in enumerate((2, 4, 8)[:n_exp]):
+            u8 = np.clip(base * (ms / 8) * 255
+                         + rng.normal(0, 4, (frames, h, w, 3)),
+                         0, 255).astype(np.uint8)
+            writer = cv.VideoWriter(str(sdir / f"scene {ms}ms.avi"),
+                                    cv.VideoWriter_fourcc(*"FFV1"), 10,
+                                    (w, h))
+            for f in u8:
+                writer.write(f)
+            writer.release()
+
+
+def test_two_process_video_to_hdr_and_calibration(tmp_path):
+    scenes_dir = tmp_path / "scenes"
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    _write_scene_videos(scenes_dir)
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        env.update({
+            "CL_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "CL_NUM_PROCESSES": "2",
+            "CL_PROCESS_ID": str(pid),
+            "PYTHONPATH": str(REPO) + os.pathsep
+            + env.get("PYTHONPATH", ""),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(WORKER), str(scenes_dir), str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    r0 = json.loads((out_dir / "result_0.json").read_text())
+    r1 = json.loads((out_dir / "result_1.json").read_text())
+    # disjoint contiguous scene blocks covering the batch
+    assert r0["scenes"] == ["scene0", "scene1"]
+    assert r1["scenes"] == ["scene2", "scene3"]
+    # both processes agreed with the single-device oracle
+    assert r0["max_merge_err"] < 1e-9 and r1["max_merge_err"] < 1e-9
+    # the cross-process psum saw both contributions
+    assert r0["dcn_total"] == r1["dcn_total"] == 12.0
+    # the population-sharded solve made progress and both processes
+    # computed the SAME energies (GSPMD determinism across the mesh)
+    assert r0["e1"] <= r0["e0"]
+    assert r0["e0"] == r1["e0"] and r0["e1"] == r1["e1"]
