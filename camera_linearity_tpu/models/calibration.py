@@ -580,7 +580,8 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
                 checkpoint_path=None, checkpoint_every: int = 0,
                 polish_steps: int = 200, polish_lr: float = 5e-3,
                 refine_rounds: int = 2, refine_width: float = 0.075,
-                refine_maxiter: int = 500, return_base: bool = False):
+                refine_maxiter: int = 500, return_base: bool = False,
+                energy_form: str = "auto"):
     """Solve the per-channel ICRF by differential evolution
     (ICRF_calibration_exposure.py:288-402).
 
@@ -589,6 +590,12 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     (value_stacks (C,P,N) DNs, std_stacks or None, exposures).  The PCA
     basis / mean curves load from config files unless given directly as
     arrays of shape (C, datapoints, K) / (C, datapoints).
+
+    ``energy_form`` selects the population-batched objective formulation:
+    "auto" (default, by memory footprint), "onehot" (precomputed one-hot
+    matmul), "hist" (per-pair joint DN histograms, unweighted data only)
+    or "chunked" (pixel chunks streamed through the matmul in a scan).
+    All three compute the same objective; tests assert their agreement.
 
     Returns (ICRF (bits, C), initial_energies (C,), final_energies (C,),
     pixel_ratio).  With ``return_base`` the solved (datapoints, C) curve
@@ -661,9 +668,25 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     #    the same matmul inside a scan.
     # The round-1 per-candidate vmapped fallback is gone: every size now
     # keeps a population-batched formulation.
+    # ``energy_form`` pins a formulation explicitly ("onehot" | "hist" |
+    # "chunked"); "auto" picks by memory footprint.  The histogram form
+    # requires unweighted data (it condenses pixels away and cannot carry
+    # per-pixel stds).
+    if energy_form not in ("auto", "onehot", "hist", "chunked"):
+        raise ValueError(f"unknown energy_form {energy_form!r}; expected "
+                         "'auto', 'onehot', 'hist' or 'chunked'")
+    if energy_form == "hist" and use_std_stacks:
+        raise ValueError("energy_form='hist' cannot weight by per-pixel "
+                         "stds (the histogram condenses pixels away); use "
+                         "'onehot' or 'chunked'")
     total_obs = int(np.prod(value_stacks.shape[1:]))
     onehot_bytes = total_obs * cfg.datapoints * 4
-    use_onehot = onehot_bytes <= (1 << 30)
+    if energy_form == "auto":
+        use_onehot = onehot_bytes <= (1 << 30)
+        use_hist = not use_onehot and not use_std_stacks
+    else:
+        use_onehot = energy_form == "onehot"
+        use_hist = energy_form == "hist"
 
     if use_onehot:
         onehots = jnp.stack([
@@ -675,7 +698,7 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
         channel_data = (pca_j, mean_data, onehots, exposures_c, ii_c, jj_c)
         if use_std_stacks:
             channel_data = channel_data + (std_data,)
-    elif not use_std_stacks:
+    elif use_hist:
         hists = jnp.stack([
             lin_ops.pair_dn_histograms(value_stacks[c], ii_j, jj_j,
                                        cfg.datapoints)
@@ -686,9 +709,11 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     else:
         energy_fn = _make_population_energy_chunked(
             use_mean_icrf, penalty, lower_dn, upper_dn, cfg.datapoints,
-            True, 16384)
+            use_std_stacks, 16384)
         channel_data = (pca_j, mean_data, value_stacks, exposures_c, ii_c,
-                        jj_c, std_data)
+                        jj_c)
+        if use_std_stacks:
+            channel_data = channel_data + (std_data,)
 
     result, _frozen = differential_evolution_batched(
         energy_fn, channel_data, chs, len(x0), lower_b, upper_b,
@@ -730,7 +755,7 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     # histogram energy, accepted per channel only on strict improvement
     # of the exact DE objective.
     if polish_steps and not use_std_stacks:
-        if use_onehot:
+        if not use_hist:
             hists = jnp.stack([
                 lin_ops.pair_dn_histograms(value_stacks[c], ii_j, jj_j,
                                            cfg.datapoints)
