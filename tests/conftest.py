@@ -29,6 +29,8 @@ else:
     # accelerator runs validate compilation and f32-level agreement.
     pass
 
+from pathlib import Path  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -40,20 +42,47 @@ if _platform != "cpu":
     # CPU/x64 parity property, not a correctness property of the f32
     # hardware path.  Instead of duplicating every assertion, accelerator
     # runs apply a FLOOR to assert_allclose tolerances: every comparison
-    # still runs — against the same oracles — at f32-level strictness
-    # (~2e-4 relative over the suite's reduction depths).  assert_array_-
-    # equal and exact integer checks are untouched.  The CPU run remains
-    # the bit-level parity gate.
+    # still runs — against the same oracles — at f32-level strictness.
+    # assert_array_equal and exact integer checks are untouched.  The CPU
+    # run remains the bit-level parity gate.
+    #
+    # The floors are PER KERNEL FAMILY, ~10x the deviations MEASURED on
+    # the real chip by benchmarks/error_budget.py (table in
+    # docs/kernel_design.md "Round-4: measured f32 error budget"); the
+    # fallback floor covers transcendental-heavy ops (exp/log/KDE), whose
+    # own measured bound is 2.6e-4 where log(x) -> 0.
     _orig_allclose = np.testing.assert_allclose
 
-    # 5e-4 rel: TPU f32 transcendentals (exp/log) are a few ULP looser
-    # than NumPy's, and relative error amplifies where log(x) -> 0
-    # (measured 2.6e-4 on the log oracles).
+    _FAMILY_FLOORS = {
+        # merge kernels: measured max rel 1.3e-5 (config 2 std)
+        "test_hdr_merge": (2e-4, 2e-6),
+        "test_hdr_pallas2": (2e-4, 2e-6),
+        "test_hdr_u8_chunked": (2e-4, 2e-6),
+        "test_hdr_corrections": (2e-4, 2e-6),
+        "test_merge_properties": (2e-4, 2e-6),
+        # calibration energies: measured max rel 2.5e-7
+        "test_linearity": (1e-4, 1e-6),
+        "test_linearity_chunked": (1e-4, 1e-6),
+        # Welford / video: measured max rel 2.4e-6 at 1000-frame depth
+        "test_video": (5e-5, 1e-6),
+    }
+    _DEFAULT_FLOOR = (5e-4, 2e-6)
+    _current_floor = [_DEFAULT_FLOOR]
+
     def _f32_floored_allclose(actual, desired, rtol=1e-7, atol=0, **kw):
-        return _orig_allclose(actual, desired, rtol=max(rtol, 5e-4),
-                              atol=max(atol, 2e-6), **kw)
+        frtol, fatol = _current_floor[0]
+        return _orig_allclose(actual, desired, rtol=max(rtol, frtol),
+                              atol=max(atol, fatol), **kw)
 
     np.testing.assert_allclose = _f32_floored_allclose
+
+    @pytest.fixture(autouse=True)
+    def _select_f32_floor(request):
+        name = request.node.path.stem if hasattr(request.node, "path") \
+            else Path(str(request.node.fspath)).stem
+        _current_floor[0] = _FAMILY_FLOORS.get(name, _DEFAULT_FLOOR)
+        yield
+        _current_floor[0] = _DEFAULT_FLOOR
 
 
 @pytest.fixture()
