@@ -143,12 +143,25 @@ def _linear_function(beta, x):
 
 def create_linearity_plots(stats: Dict, save_path: Path, fit_line: bool,
                            ylabel: str, symbol: str,
-                           config: CameraConfig = DEFAULT_CONFIG) -> None:
+                           config: CameraConfig = DEFAULT_CONFIG) -> Dict:
     """Per-channel linearity scatter with uncertainty bars and an optional
-    scipy-ODR line fit (data_visualization.py:178-232)."""
+    scipy-ODR line fit (data_visualization.py:178-232).
+
+    Returns the per-channel ODR fits ``{ch_char: {"beta": (A, B),
+    "sd_beta": (dA, dB)}}`` (empty when ``fit_line`` is off or there are
+    fewer than 2 points) so the fitted coefficients are data, not just
+    title text — tests/unit/test_visualization.py pins them against
+    direct scipy.odr values and analytic lines.  Intentional divergences
+    from the reference renderer: matplotlib color comes from a
+    name->color map instead of passing the channel NAME as the color
+    (reference crashes on 'blue'≠valid for non-RGB configs), a 1-channel
+    config gets a 1-element axes list (reference indexes axes[1]
+    unconditionally), and a missing 'errors' entry skips the error bars
+    instead of raising."""
     from scipy.odr import ODR, Model, RealData
 
     x = np.asarray(stats["ratios"])
+    fits: Dict = {}
     fig, axes = plt.subplots(1, config.num_of_chs, figsize=(20, 5))
     if config.num_of_chs == 1:
         axes = [axes]
@@ -165,6 +178,9 @@ def create_linearity_plots(stats: Dict, save_path: Path, fit_line: bool,
             sy = np.where(y_std == 0, 1e-12, y_std)
             odr = ODR(RealData(x, y, sy=sy), linear_model, beta0=[0.0, 0.0])
             odr_output = odr.run()
+            fits[cc] = {"beta": tuple(float(b) for b in odr_output.beta),
+                        "sd_beta": tuple(float(b)
+                                         for b in odr_output.sd_beta)}
             line = _linear_function(odr_output.beta, x)
             ax.plot(x, line, c="black")
             ax.set_title(
@@ -186,6 +202,7 @@ def create_linearity_plots(stats: Dict, save_path: Path, fit_line: bool,
         xlabel=r"Exposure time ratio $t_s/t_l$")
     plt.savefig(save_path, dpi=150)
     plt.close(fig)
+    return fits
 
 
 def plot_histograms(histogram_dictionary: Dict, save_path: Path,

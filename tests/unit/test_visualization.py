@@ -51,6 +51,44 @@ def test_create_linearity_plots(tmp_path, rng):
     assert (tmp_path / "lin2.png").exists()
 
 
+def test_linearity_odr_fit_coefficients(tmp_path, rng):
+    """Data-level ODR parity (reference data_visualization.py:201-206):
+    the returned fit coefficients must equal a direct scipy.odr run with
+    the reference's exact construction (RealData(x, y, sy=std), linear
+    model, beta0=[0,0]), and recover an analytic line on synthetic stats.
+    """
+    from scipy.odr import ODR, Model, RealData
+
+    n_pairs = 10
+    x = np.linspace(0.1, 1.0, n_pairs)
+    A, B = 0.004, -0.012
+    noise = rng.normal(0, 1e-4, (n_pairs, 3))
+    means = (A + B * x)[:, None] + noise
+    stds = rng.uniform(0.002, 0.01, (n_pairs, 3))
+    stats = {"ratios": x, "means": means, "stds": stds,
+             "errors": rng.uniform(0.001, 0.005, (n_pairs, 3))}
+    fits = viz.create_linearity_plots(stats, tmp_path / "lin.png", True,
+                                      "Relative diff", "R", CFG)
+    assert set(fits) == set(CFG.ch_chars)
+    for c, cc in enumerate(CFG.ch_chars):
+        # exact agreement with the reference-construction scipy.odr run
+        ref = ODR(RealData(x, means[:, c], sy=stds[:, c]),
+                  Model(lambda beta, xx: beta[0] + beta[1] * xx),
+                  beta0=[0.0, 0.0]).run()
+        np.testing.assert_allclose(fits[cc]["beta"], ref.beta, rtol=1e-12)
+        np.testing.assert_allclose(fits[cc]["sd_beta"], ref.sd_beta,
+                                   rtol=1e-12)
+        # and the fit recovers the analytic line from the synthetic stats
+        np.testing.assert_allclose(fits[cc]["beta"], [A, B], atol=5e-4)
+    # fit_line=False and <2 points return no fits
+    assert viz.create_linearity_plots(stats, tmp_path / "l2.png", False,
+                                      "d", "R", CFG) == {}
+    one = {k: (v[:1] if k == "ratios" else
+               (None if v is None else v[:1])) for k, v in stats.items()}
+    assert viz.create_linearity_plots(one, tmp_path / "l3.png", True,
+                                      "d", "R", CFG) == {}
+
+
 def test_plot_histograms_and_kde(tmp_path, rng):
     m = Measurand(jnp.asarray(rng.uniform(0, 1, (32, 32, 3))))
     hists = m.compute_channel_histogram(16, (0.0, 1.0))
