@@ -106,9 +106,14 @@ def cmd_linearity(args) -> int:
         out = Path(args.out) if args.out else Path(args.images)
         for name, stats in (("absolute", abs_stats), ("relative",
                                                       rel_stats)):
-            viz.create_linearity_plots(
+            fits = viz.create_linearity_plots(
                 stats, out / f"linearity_{name}_{k}.png", fit_line=True,
                 ylabel=f"{name} difference", symbol="R", config=cfg)
+            for cc, fit in fits.items():
+                log.info("series %d %s ODR fit %s: A=%.5g±%.2g "
+                         "B=%.5g±%.2g", k, name, cc, fit["beta"][0],
+                         fit["sd_beta"][0], fit["beta"][1],
+                         fit["sd_beta"][1])
         log.info("series %d: %d pairs, mean |rel| = %s", k,
                  len(series.exposure_pairs),
                  np.abs(rel_stats["means"]).mean(axis=0))
