@@ -165,7 +165,7 @@ def cmd_calibrate(args) -> int:
             rng_seed=args.seed, config=cfg, maxiter=args.maxiter,
             checkpoint_path=args.checkpoint,
             checkpoint_every=100 if args.checkpoint else 0,
-            return_base=True)
+            return_base=True, energy_form=args.energy_form)
     log.info("initial energies: %s", e0)
     log.info("final energies:   %s", e1)
     out = args.out or (Path(cfg.data_path or ".")
@@ -325,6 +325,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seed", type=int, default=7)
     c.add_argument("--std", action="store_true")
     c.add_argument("--checkpoint")
+    c.add_argument("--energy-form", default="auto",
+                   choices=["auto", "onehot", "hist", "chunked"],
+                   help="pin the objective formulation (default: auto "
+                        "by memory footprint)")
     c.add_argument("--strict", action="store_true",
                    help="host float64 parity mode: reproduce the "
                         "reference's seeded SciPy solve to the RNG draw")
