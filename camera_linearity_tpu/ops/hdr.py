@@ -264,7 +264,10 @@ def merge_corrected(stack_val: Array, stack_std: Optional[Array],
 
     ``dark_stack`` is (N, H, W, C) of per-exposure dark frames — all-zero
     planes for exposures without a matched dark (the repair is then an
-    exact no-op, like the reference's skip).  The median repair runs
+    exact no-op, like the reference's skip) — OR a precomputed uint8
+    hot-pixel mask (``ops.filters.hot_pixel_mask``; darks are fixed
+    calibration data, so the mask is computed once — same merge speed,
+    4x less host->device transfer when staging it).  The median repair runs
     vmapped over the exposure axis; XLA fuses it with the normalization
     into the merge kernel's input stream, so the stack makes one HBM
     round-trip for the whole chain.

@@ -322,10 +322,24 @@ def _make_kernel_lerp(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
 
         if bad_pixel:
             # hot-pixel repair prologue: per exposure, median-replace
-            # where the matched dark frame exceeds the threshold
+            # where the matched dark frame flags the pixel hot.  The
+            # full-block neighbor specs do NOT triple HBM traffic in
+            # practice — Mosaic's pipeliner reuses the overlapping
+            # fetches (measured round 4: 1-row/8-row narrow-halo specs
+            # changed nothing outside the ±10% epoch noise band, so the
+            # simpler full-block scheme stays).
             i = pl.program_id(1)
             nh = pl.num_programs(1)
-            thr = thr_ref[0, 0]
+            # dark_ref is either matched dark frames (float, compare
+            # against the threshold) or a precomputed uint8 hot mask
+            # (ops.filters.hot_pixel_mask — same kernel speed, but 4x
+            # less host->device transfer when masks are staged for fixed
+            # calibration darks)
+            if jnp.issubdtype(dark_ref.dtype, jnp.integer):
+                hot_of = lambda e: dark_ref[e, 0] != 0  # noqa: E731
+            else:
+                thr = thr_ref[0, 0]
+                hot_of = lambda e: dark_ref[e, 0].astype(f32) > thr  # noqa
 
             def fix(cur_ref, prev_ref, next_ref, e):
                 cur = cur_ref[e, 0].astype(f32)
@@ -338,8 +352,7 @@ def _make_kernel_lerp(n: int, hb: int, wb: int, use_std: bool, is_int: bool,
                 bot = jnp.where(i == nh - 1, cur[hb - 1:hb, :], bot)
                 strip = jnp.concatenate([top, cur, bot], axis=0)
                 med = _median9_block(strip, hb, wb)
-                hot = dark_ref[e, 0].astype(f32) > thr
-                return jnp.where(hot, med, cur)
+                return jnp.where(hot_of(e), med, cur)
 
             raw = jnp.concatenate(
                 [fix(val_ref, vp_ref, vn_ref, e) for e in range(n)],
@@ -590,7 +603,11 @@ def merge_planar_lerp_bp(val: Array, std: Optional[Array], dark: Array,
     kernel prologue — the corrected stack never round-trips through HBM.
 
     ``dark``: (N, C, H, W) matched dark frames (all-zero planes for
-    exposures without one — the repair is then an exact no-op).
+    exposures without one — the repair is then an exact no-op), OR a
+    uint8 hot-pixel MASK (nonzero = repair; precompute once via
+    ``ops.filters.hot_pixel_mask`` — same kernel speed, 4x less
+    host->device transfer for fixed calibration darks; ``threshold`` is
+    then ignored).
     Requires float stacks and H divisible by ``hb`` (the neighbor-block
     halo scheme needs uniform row blocks); callers fall back to the
     unfused chain otherwise.
@@ -619,6 +636,10 @@ def merge_planar_lerp_bp(val: Array, std: Optional[Array], dark: Array,
                                bad_pixel=True)
     spec = pl.BlockSpec((n, 1, hb, wb), lambda c_, i, j: (0, c_, i, j),
                         memory_space=pltpu.VMEM)
+    # full-block neighbor halos: only the adjacent row is needed, but
+    # narrow (1- or 8-row) halo specs measured NO faster on-chip (the
+    # pipeliner already reuses the overlapping fetches) and Mosaic
+    # requires >=8-row blocks anyway — keep the simple scheme
     spec_prev = pl.BlockSpec(
         (n, 1, hb, wb),
         lambda c_, i, j: (0, c_, jnp.maximum(i - 1, 0), j),

@@ -234,6 +234,43 @@ def test_lerp_bp_fused_matches_chain(rng, use_std):
         assert ps is None
 
 
+def test_lerp_bp_uint8_mask_matches_dark_frames(rng):
+    """A precomputed uint8 hot-pixel mask (hot_pixel_mask) produces
+    bit-identical merges to the float dark-frame path, through BOTH the
+    fused kernel and the bad_pixel_filter chain."""
+    from camera_linearity_tpu.ops.hdr_pallas2 import merge_nhwc_lerp_bp
+    from camera_linearity_tpu.ops.filters import (bad_pixel_filter,
+                                                  hot_pixel_mask)
+    import jax
+    n, h, w, c = 3, 32, 40, 2
+    bits = 4096
+    val = rng.uniform(0.05, 0.95, (n, h, w, c)).astype(np.float32)
+    std = rng.uniform(0.001, 0.01, (n, h, w, c)).astype(np.float32)
+    dark = rng.uniform(0, 1, (n, h, w, c)).astype(np.float32)
+    exposures = np.array([0.002, 0.004, 0.008], np.float32)
+    base, diff_base, _, _ = _interp_tables(rng, bits, c)
+    thr = jnp.asarray(0.6, jnp.float32)
+    mask = hot_pixel_mask(jnp.asarray(dark), thr)
+    assert mask.dtype == jnp.uint8
+
+    dv, ds = merge_nhwc_lerp_bp(
+        jnp.asarray(val), jnp.asarray(std), jnp.asarray(dark),
+        jnp.asarray(exposures), jnp.asarray(base), jnp.asarray(diff_base),
+        thr, bits=bits)
+    mv, ms = merge_nhwc_lerp_bp(
+        jnp.asarray(val), jnp.asarray(std), mask,
+        jnp.asarray(exposures), jnp.asarray(base), jnp.asarray(diff_base),
+        thr, bits=bits)
+    np.testing.assert_array_equal(np.asarray(dv), np.asarray(mv))
+    np.testing.assert_array_equal(np.asarray(ds), np.asarray(ms))
+
+    fv, _ = jax.vmap(lambda v, s, d: bad_pixel_filter(v, s, d, thr, 3))(
+        jnp.asarray(val), jnp.asarray(std), jnp.asarray(dark))
+    gv, _ = jax.vmap(lambda v, s, m: bad_pixel_filter(v, s, m, thr, 3))(
+        jnp.asarray(val), jnp.asarray(std), mask)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(gv))
+
+
 def test_lerp_bp_256_degenerates_to_exact_lookup(rng):
     """With a 256-entry table as its own base, the lerp kernel's t is
     identically 0/1 and the fused-corrections merge equals the exact
