@@ -243,8 +243,8 @@ def _child_main(metrics):
         try:
             BENCHES[name]()
         except Exception as e:  # noqa: BLE001 — never lose other metrics
-            print(json.dumps({"metric": name, "error":
-                              str(e).splitlines()[0][:200]}), flush=True)
+            msg = (str(e).splitlines() or [repr(e)])[0][:200]
+            print(json.dumps({"metric": name, "error": msg}), flush=True)
     os._exit(0)
 
 
@@ -271,8 +271,10 @@ def _run_fake(spec: dict, metrics) -> None:
     """Deterministic child stand-in for orchestration tests (no device).
 
     ``spec``: {"attach_fail_times": N, "counter": path, "metrics":
-    {name: "ok"|"error"|"hang"|"hang_once"}}.  The counter file carries
-    attach/hang attempt counts across child spawns.
+    {name: "ok"|"error"|"hang"|"hang_once"|"die"}}.  The counter file
+    carries attach/hang attempt counts across child spawns.  "die"
+    hard-exits the child mid-metric with NO error line (a native
+    segfault/OOM abort stand-in).
     """
     def bump(key) -> int:
         path = spec["counter"] + "." + key
@@ -291,6 +293,8 @@ def _run_fake(spec: dict, metrics) -> None:
     print(json.dumps({"_event": "attach_ok", "attach_s": 0.0}), flush=True)
     for name in metrics:
         mode = spec.get("metrics", {}).get(name, "ok")
+        if mode == "die":
+            os._exit(9)
         if mode == "hang" or (mode == "hang_once"
                               and bump("hang_" + name) == 1):
             time.sleep(3600)
@@ -364,6 +368,19 @@ def main():
                                  f"{max_attempts} attempts (hang)"}))
                     break
                 if line is None:  # child exited
+                    # a HARD exit mid-metric (segfault/OOM abort in native
+                    # code prints no error line) must still charge the
+                    # running metric an attempt — otherwise a
+                    # reliably-crashing metric respawns in a tight loop
+                    # for the whole budget and starves every later metric
+                    if attached and running is not None \
+                            and running not in results:
+                        attempts[running] += 1
+                        if attempts[running] >= max_attempts:
+                            emit(running, json.dumps(
+                                {"metric": running, "error":
+                                 "child process died during this metric "
+                                 f"x{max_attempts} attempts"}))
                     break
                 try:
                     rec = json.loads(line)

@@ -153,9 +153,17 @@ def _checkout_scene_stack_pool(shape, dtype, depth: int = 2):
     return key, pool
 
 
+_MAX_IDLE_PER_GEOMETRY = 2
+
+
 def _return_scene_stack_pool(key, pool) -> None:
     with _SCENE_STACKS_LOCK:
-        _SCENE_STACKS.setdefault(key, []).append(pool)
+        idle = _SCENE_STACKS.setdefault(key, [])
+        # bound idle pools PER KEY too: a burst of N concurrent
+        # same-geometry calls would otherwise pin N multi-hundred-MB
+        # pools for process lifetime (extras just drop; munmap on GC)
+        if len(idle) < _MAX_IDLE_PER_GEOMETRY:
+            idle.append(pool)
         _SCENE_STACKS.move_to_end(key)
         while len(_SCENE_STACKS) > _MAX_CACHED_GEOMETRIES:
             _SCENE_STACKS.popitem(last=False)
@@ -227,12 +235,23 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
 
 
 def _validate_scene_batch(scenes: Dict[str, Sequence[Path]],
-                          names: Sequence[str]) -> list:
+                          names: Sequence[str],
+                          probe_names: Optional[Sequence[str]] = None
+                          ) -> list:
     """Shared batch validation: non-empty scenes with matching exposure
-    sets (filename-derived), checked BEFORE any decode work so a
-    mismatched batch fails in milliseconds, not after minutes of decoding.
-    The batched merge applies ONE exposure vector to every scene; a
-    differing scene would merge silently wrong."""
+    sets (filename-derived) AND matching frame geometry (container-header
+    probe), checked BEFORE any decode work so a mismatched batch fails in
+    milliseconds, not after minutes of decoding.  The batched merge
+    applies ONE exposure vector and ONE (H, W) geometry to every scene;
+    a differing scene would merge silently wrong — and in the multi-host
+    path each process derives the GLOBAL array shape from its own first
+    scene, so a geometry mismatch there would desynchronize the processes
+    with no attribution.
+
+    ``probe_names`` restricts the geometry probe to a subset (the
+    multi-host path probes only its own scene block — other processes'
+    video FILES need not be readable from this host — and cross-checks
+    geometry between processes with a collective instead)."""
     if not names:
         raise ValueError("batch_video_to_hdr: scenes is empty; pass at "
                          "least one scene name -> video paths entry")
@@ -241,13 +260,27 @@ def _validate_scene_batch(scenes: Dict[str, Sequence[Path]],
             raise ValueError(f"batch_video_to_hdr: scene {name!r} has no "
                              "videos")
     exp0 = sorted(_exposure_of(p) for p in scenes[names[0]])
-    for name in names[1:]:
+    probe = names if probe_names is None else probe_names
+    geo0 = None
+    geo0_name = None
+    for name in names:
         exp = sorted(_exposure_of(p) for p in scenes[name])
         if exp != exp0:
             raise ValueError(
                 f"batch_video_to_hdr: scene {name!r} has exposures "
                 f"{exp} != {names[0]!r}'s {exp0}; merge scenes with "
                 "differing exposure sets separately (video_to_hdr)")
+        if name not in probe:
+            continue
+        geo = video_mod.probe_geometry(
+            sorted(scenes[name], key=_exposure_of)[0])
+        if geo0 is None:
+            geo0, geo0_name = geo, name
+        elif geo != geo0:
+            raise ValueError(
+                f"batch_video_to_hdr: scene {name!r} has frame geometry "
+                f"{geo} != {geo0_name!r}'s {geo0}; all scenes in a batch "
+                "must share frame geometry")
     return exp0
 
 
@@ -285,9 +318,24 @@ def batch_video_to_hdr_distributed(scenes: Dict[str, Sequence[Path]],
         icrf_derivative(icrf_j, cfg.bits)
 
     names = list(scenes.keys())
-    _validate_scene_batch(scenes, names)
     block = dist.local_scene_block(len(names), mesh)
     local_names = names[block]
+    # probe geometry for THIS process's block only (other processes'
+    # video files need not be readable here), then cross-check between
+    # processes with a tiny collective — a mismatch would otherwise give
+    # each process a different global array shape and desynchronize the
+    # runtime with no attribution
+    _validate_scene_batch(scenes, names, probe_names=local_names)
+    h0, w0 = video_mod.probe_geometry(
+        sorted(scenes[local_names[0]], key=_exposure_of)[0])
+    from jax.experimental import multihost_utils
+    geos = np.asarray(multihost_utils.process_allgather(
+        np.array([h0, w0], np.int64)))
+    if not (geos == geos[0]).all():
+        raise ValueError(
+            "batch_video_to_hdr: scene frame geometry differs between "
+            f"processes: {[tuple(g) for g in geos]} (process order); all "
+            "scenes in a batch must share frame geometry")
     ftype = jax.dtypes.canonicalize_dtype(np.float64)
 
     with _stage("stacks_s"):

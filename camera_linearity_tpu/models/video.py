@@ -113,9 +113,17 @@ def _checkout_host_buffers(batch_size: int, height: int, width: int,
     return key, (pool, bufs)
 
 
+_MAX_IDLE_PER_GEOMETRY = 2
+
+
 def _return_host_buffers(key, buffers) -> None:
     with _HOST_BUFFERS_LOCK:
-        _HOST_BUFFERS.setdefault(key, []).append(buffers)
+        idle = _HOST_BUFFERS.setdefault(key, [])
+        # bound idle sets PER KEY too: a burst of N concurrent
+        # same-geometry runs would otherwise pin N multi-GB buffer sets
+        # for process lifetime (extras just drop; munmap on GC)
+        if len(idle) < _MAX_IDLE_PER_GEOMETRY:
+            idle.append(buffers)
         while len(_HOST_BUFFERS) > _MAX_CACHED_GEOMETRIES:
             # evict an arbitrary other geometry (dict order = insertion)
             oldest = next(k for k in _HOST_BUFFERS if k != key)

@@ -151,17 +151,27 @@ def _build(lib_path: Path) -> bool:
     return False
 
 
-def _prune_stale_libs(keep: Path) -> None:
+def _prune_stale_libs(keep: Path, min_age_s: float = 600.0) -> None:
     """Drop libs built for dead source/host hashes (they accumulate one
     per code change otherwise); best-effort — a lib mapped by a running
-    process keeps working after unlink on POSIX."""
+    process keeps working after unlink on POSIX.
+
+    Only libs older than ``min_age_s`` are touched: a concurrently
+    running process with a DIFFERENT source hash (e.g. two package
+    versions sharing the cache dir) has a window between its os.replace
+    and its CDLL in which deleting its fresh lib would silently pin it
+    to the NumPy fallback."""
+    import time
+    now = time.time()
     for p in keep.parent.glob("_stager-*.so"):
         # another process's in-flight temp build is not stale
-        if p != keep and ".tmp" not in p.name:
-            try:
+        if p == keep or ".tmp" in p.name:
+            continue
+        try:
+            if now - p.stat().st_mtime >= min_age_s:
                 p.unlink()
-            except OSError:
-                pass
+        except OSError:
+            pass
 
 
 def _load() -> Optional[ctypes.CDLL]:

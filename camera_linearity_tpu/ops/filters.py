@@ -72,7 +72,8 @@ def hot_pixel_mask(dark_stack: Array, threshold) -> Array:
 
 
 def bad_pixel_filter(val: Array, std: Optional[Array], dark_val: Array,
-                     threshold: float, kernel_size: int = 3
+                     threshold: float, kernel_size: int = 3,
+                     dark_is_mask: bool = False
                      ) -> Tuple[Array, Optional[Array]]:
     """Replace pixels flagged hot by the dark frame with the local median.
 
@@ -82,11 +83,13 @@ def bad_pixel_filter(val: Array, std: Optional[Array], dark_val: Array,
     (``filter_larger_than_by_map``), whose masked assignment is shape-buggy in
     the reference (SURVEY.md §7.7); here it is a clean jnp.where.
 
-    ``dark_val`` may also be a precomputed uint8 mask (see
-    :func:`hot_pixel_mask`); nonzero flags the pixel hot and ``threshold``
-    is ignored.
+    With ``dark_is_mask`` the map is a precomputed hot-pixel mask (see
+    :func:`hot_pixel_mask`): nonzero flags the pixel hot and ``threshold``
+    is ignored.  Mask semantics are EXPLICIT opt-in — an integer-dtype
+    map without the flag keeps the ``> threshold`` contract (integer DN
+    dark frames are legitimate maps).
     """
-    if jnp.issubdtype(dark_val.dtype, jnp.integer):
+    if dark_is_mask:
         hot = dark_val != 0
     else:
         hot = dark_val > threshold

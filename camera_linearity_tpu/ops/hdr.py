@@ -293,16 +293,20 @@ def merge_corrected(stack_val: Array, stack_std: Optional[Array],
             hdr_val, hdr_std = flat_field_correction(
                 hdr_val, hdr_std, flat_val, flat_std, mid_percentage)
         return hdr_val, hdr_std
+    # merge_corrected's documented contract: an integer-dtype dark_stack
+    # IS a precomputed hot-pixel mask (hot_pixel_mask); float dark frames
+    # compare against the threshold
+    dark_is_mask = bool(jnp.issubdtype(dark_stack.dtype, jnp.integer))
     if stack_std is None:
         fixed_val = jax.vmap(
             lambda v, d: bad_pixel_filter(v, None, d, dark_threshold,
-                                          kernel_size)[0])(
+                                          kernel_size, dark_is_mask)[0])(
             stack_val, dark_stack)
         fixed_std = None
     else:
         fixed_val, fixed_std = jax.vmap(
             lambda v, s, d: bad_pixel_filter(v, s, d, dark_threshold,
-                                             kernel_size))(
+                                             kernel_size, dark_is_mask))(
             stack_val, stack_std, dark_stack)
 
     hdr_val, hdr_std = merge_hdr(fixed_val, fixed_std, exposures, icrf,

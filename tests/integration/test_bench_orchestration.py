@@ -86,6 +86,23 @@ def test_transient_hang_retries_to_success(tmp_path):
     assert tail[-1]["metric"] == HEADLINE
 
 
+def test_hard_crashing_metric_is_charged_and_bounded(tmp_path):
+    """A child that HARD-exits mid-metric (native segfault/OOM stand-in:
+    no error line, no further output) must charge that metric an attempt
+    each time — a reliably-crashing metric is reported after max
+    attempts instead of respawning for the whole budget and starving the
+    metrics after it."""
+    spec = {"metrics": {"config1_merge_gray_nostd": "die"}}
+    lines, tail = _run(tmp_path, spec, budget="45")
+    by_name = {r["metric"]: r for r in tail}
+    assert "died" in by_name["config1_merge_gray_nostd"]["error"]
+    # headline ran before the crasher; the metrics AFTER it in child
+    # order must still land numerically
+    for name in ALL_METRICS - {"config1_merge_gray_nostd"}:
+        assert "error" not in by_name[name], by_name[name]
+    assert tail[-1]["metric"] == HEADLINE
+
+
 def test_erroring_metric_is_retried_then_reported(tmp_path):
     spec = {"metrics": {"config4_calibration_3ch_wall": "error"}}
     lines, tail = _run(tmp_path, spec, budget="30")

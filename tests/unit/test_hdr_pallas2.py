@@ -266,9 +266,22 @@ def test_lerp_bp_uint8_mask_matches_dark_frames(rng):
 
     fv, _ = jax.vmap(lambda v, s, d: bad_pixel_filter(v, s, d, thr, 3))(
         jnp.asarray(val), jnp.asarray(std), jnp.asarray(dark))
-    gv, _ = jax.vmap(lambda v, s, m: bad_pixel_filter(v, s, m, thr, 3))(
+    gv, _ = jax.vmap(lambda v, s, m: bad_pixel_filter(
+        v, s, m, thr, 3, dark_is_mask=True))(
         jnp.asarray(val), jnp.asarray(std), mask)
     np.testing.assert_array_equal(np.asarray(fv), np.asarray(gv))
+    # mask semantics are explicit opt-in: an integer map WITHOUT the flag
+    # keeps the reference's '> threshold' contract (filter_larger_than_by
+    # _map may receive integer DN maps)
+    int_map = (np.asarray(dark) * 255).astype(np.uint8)
+    hv, _ = jax.vmap(lambda v, s, m: bad_pixel_filter(
+        v, s, m, jnp.asarray(100.0, jnp.float32), 3))(
+        jnp.asarray(val), jnp.asarray(std), jnp.asarray(int_map))
+    ov, _ = jax.vmap(lambda v, s, m: bad_pixel_filter(
+        v, s, m, jnp.asarray(100.0, jnp.float32), 3))(
+        jnp.asarray(val), jnp.asarray(std),
+        jnp.asarray(int_map.astype(np.float32)))
+    np.testing.assert_array_equal(np.asarray(hv), np.asarray(ov))
 
 
 def test_lerp_bp_256_degenerates_to_exact_lookup(rng):
