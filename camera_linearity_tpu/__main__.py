@@ -232,6 +232,10 @@ def cmd_doctor(args) -> int:
     import jax.numpy as jnp
     print(f"jax {jax.__version__}  backend={jax.default_backend()}  "
           f"x64={'on' if jax.config.jax_enable_x64 else 'off'}")
+    if jax.process_count() > 1:
+        print(f"multi-host: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{len(jax.devices())} global devices")
     for dev in jax.devices():
         print(f"  device: {dev}")
     print(f"host: {os.cpu_count()} cpu core(s)")
