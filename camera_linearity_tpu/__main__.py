@@ -126,9 +126,10 @@ def cmd_calibrate(args) -> int:
     from .utils.observability import get_logger, timed
     log = get_logger()
     cfg = _load_config(args)
-    if args.strict:
-        # host float64 parity mode: reproduces the reference's SciPy solve
-        # to the RNG draw (models/scipy_strict.py)
+    if args.strict or args.hybrid:
+        # host float64 parity modes: reproduce the reference's SciPy solve
+        # to the RNG draw, cold (--strict) or seeded by a fast device
+        # solve (--hybrid) (models/scipy_strict.py)
         import numpy as _np
         from .models import scipy_strict
         stacks, stds, exposures, _ratio = \
@@ -141,15 +142,27 @@ def cmd_calibrate(args) -> int:
         mean = _np.stack([io.read_txt_to_array(cfg.mean_icrf_files[c],
                                                cfg.data_path)
                           for c in range(cfg.num_of_chs)])
-        with timed("calibration_strict", log):
-            icrf, e0, e1, iters = scipy_strict.calibration_strict(
-                args.lower, args.upper,
-                channel_stacks=(_np.asarray(stacks, _np.int32),
-                                None if stds is None else _np.asarray(stds),
-                                _np.asarray(exposures)),
-                pca_arrays=pca, mean_icrf_arrays=mean,
-                rng_seed=args.seed, maxiter=args.maxiter, config=cfg)
-        log.info("strict mode: %s iterations per channel", iters)
+        channel_stacks = (_np.asarray(stacks, _np.int32),
+                          None if stds is None else _np.asarray(stds),
+                          _np.asarray(exposures))
+        if args.hybrid:
+            with timed("calibration_hybrid", log):
+                icrf, dev_e, e0, e1, iters = scipy_strict.calibration_hybrid(
+                    args.lower, args.upper, channel_stacks=channel_stacks,
+                    pca_arrays=pca, mean_icrf_arrays=mean,
+                    rng_seed=args.seed, config=cfg,
+                    device_kwargs=dict(maxiter=args.maxiter,
+                                       energy_form=args.energy_form))
+            log.info("hybrid mode: device energies (f32 objective): %s",
+                     dev_e)
+            log.info("hybrid mode: %s strict iterations per channel", iters)
+        else:
+            with timed("calibration_strict", log):
+                icrf, e0, e1, iters = scipy_strict.calibration_strict(
+                    args.lower, args.upper, channel_stacks=channel_stacks,
+                    pca_arrays=pca, mean_icrf_arrays=mean,
+                    rng_seed=args.seed, maxiter=args.maxiter, config=cfg)
+            log.info("strict mode: %s iterations per channel", iters)
         log.info("initial energies: %s", e0)
         log.info("final energies:   %s", e1)
         out = args.out or (Path(cfg.data_path or ".")
@@ -336,6 +349,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--strict", action="store_true",
                    help="host float64 parity mode: reproduce the "
                         "reference's seeded SciPy solve to the RNG draw")
+    c.add_argument("--hybrid", action="store_true",
+                   help="fast-then-exact: device solve finds the basin, "
+                        "then seeds the strict float64 SciPy solver")
     c.set_defaults(fn=cmd_calibrate)
 
     v = sub.add_parser("video", help="video mean/std frames")

@@ -581,7 +581,7 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
                 polish_steps: int = 200, polish_lr: float = 5e-3,
                 refine_rounds: int = 2, refine_width: float = 0.075,
                 refine_maxiter: int = 500, return_base: bool = False,
-                energy_form: str = "auto"):
+                energy_form: str = "auto", return_params: bool = False):
     """Solve the per-channel ICRF by differential evolution
     (ICRF_calibration_exposure.py:288-402).
 
@@ -602,6 +602,9 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     is appended — feed it (and its gradient) to ``merge_hdr``'s
     ``icrf_base`` for the piecewise-linear fast path at >8-bit depths;
     the returned full-size table is its exact np.interp expansion.
+    With ``return_params`` the solved (C, num_params) parameter vectors
+    are appended last — the seed for :func:`~camera_linearity_tpu.models
+    .scipy_strict.calibration_hybrid`'s exact strict phase.
     """
     cfg = config
     chs = cfg.num_of_chs
@@ -642,7 +645,7 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
     ii_j, jj_j = jnp.asarray(ii), jnp.asarray(jj)
     lower_dn, upper_dn = int(data_limits[0]), int(data_limits[1])
 
-    value_stacks = value_stacks.astype(jnp.int32)
+    value_stacks = jnp.asarray(value_stacks, jnp.int32)
 
     pca_j = jnp.asarray(np.asarray(pca_arrays), float)           # (C, dp, K)
     mean_j = None if mean_icrf_arrays is None else \
@@ -779,7 +782,9 @@ def calibration(lower_PCA_limit: float, upper_PCA_limit: float,
 
     icrf_interpolated = np.asarray(interpolate_curve(jnp.asarray(icrf_out),
                                                      cfg.bits))
+    out = (icrf_interpolated, initial_energies, final_energies, pixel_ratio)
     if return_base:
-        return (icrf_interpolated, initial_energies, final_energies,
-                pixel_ratio, icrf_out)
-    return icrf_interpolated, initial_energies, final_energies, pixel_ratio
+        out = out + (icrf_out,)
+    if return_params:
+        out = out + (np.asarray(best_x, float),)
+    return out

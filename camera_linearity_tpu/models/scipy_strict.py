@@ -44,7 +44,8 @@ import numpy as np
 
 from ..config import CameraConfig, DEFAULT_CONFIG
 
-__all__ = ["StrictDESolver", "reference_energy", "calibration_strict"]
+__all__ = ["StrictDESolver", "reference_energy", "calibration_strict",
+           "calibration_hybrid"]
 
 
 def _as_random_state(seed) -> np.random.RandomState:
@@ -417,3 +418,142 @@ def calibration_strict(lower_PCA_limit: float, upper_PCA_limit: float,
         icrf = np.stack([np.interp(x_new, x_old, icrf[:, c])
                          for c in range(chs)], axis=1)
     return icrf, e_init, e_final, n_iters
+
+
+def calibration_hybrid(lower_PCA_limit: float, upper_PCA_limit: float,
+                       channel_stacks,
+                       pca_arrays: np.ndarray,
+                       mean_icrf_arrays: Optional[np.ndarray] = None,
+                       initial_function: Optional[np.ndarray] = None,
+                       data_limits: Tuple[int, int] = (5, 250),
+                       energy_limit: float = 0.0,
+                       rng_seed: int = 7,
+                       strict_maxiter: int = 100,
+                       tol: float = 0.01,
+                       mutation: Tuple[float, float] = (0.0, 1.95),
+                       recombination: float = 0.4,
+                       popsize: int = 15,
+                       config: CameraConfig = DEFAULT_CONFIG,
+                       device_kwargs: Optional[dict] = None):
+    """Fast-then-exact hybrid ICRF solve.
+
+    Phase 1 runs the population-batched device solver
+    (:func:`~camera_linearity_tpu.models.calibration.calibration`) to
+    locate the energy basin at TPU speed.  Phase 2 injects each channel's
+    device optimum as ``x0`` into :class:`StrictDESolver` — the exact
+    float64 ``currenttobest1bin`` solver that reproduces SciPy draw for
+    draw — and lets it converge under the reference's own objective
+    (ICRF_calibration_exposure.py:148-201), stepped with the reference's
+    double-step loop (:364-370).
+
+    Because the seed joins the strict population (SciPy's ``x0``
+    injection) and DE never discards its best member, the result can only
+    match or improve on the device optimum *as measured by the
+    reference's float64 energy*: the hybrid is an audit-grade answer at a
+    fraction of a cold strict solve's iteration budget.
+
+    ``device_kwargs`` forwards extra options to the device phase (e.g.
+    ``maxiter``, ``energy_form``, ``mesh``).  Strict bounds clip the seed
+    inward when the device's refinement rounds stepped slightly outside
+    the original box.
+
+    Returns (ICRF (bits, C), device_energies (C,), strict_initial (C,),
+    strict_final (C,), n_iterations (C,)) — the two energy scales are the
+    device f32 objective and the reference float64 objective
+    respectively; compare strict_initial vs strict_final, not device vs
+    strict.
+    """
+    from .calibration import calibration  # late: avoids an import cycle
+
+    cfg = config
+    value_stacks, std_stacks, exposures = channel_stacks
+    value_stacks = np.asarray(value_stacks)
+    exposures_np = np.asarray(exposures, float)
+    chs = value_stacks.shape[0]
+
+    dk = dict(device_kwargs or {})
+    dk.pop("return_base", None)   # fixed return layout is unpacked below
+    dk.pop("return_params", None)
+    dk.setdefault("popsize", popsize)
+    dk.setdefault("tol", tol)
+    dk.setdefault("mutation", mutation)
+    dk.setdefault("recombination", recombination)
+    *_, device_energies, _ratio, seed_params = calibration(
+        lower_PCA_limit, upper_PCA_limit,
+        initial_function=initial_function, data_limits=data_limits,
+        energy_limit=energy_limit, rng_seed=rng_seed, config=cfg,
+        channel_stacks=channel_stacks, pca_arrays=pca_arrays,
+        mean_icrf_arrays=mean_icrf_arrays, return_params=True, **dk)
+
+    use_mean = initial_function is None
+    num_pca = pca_arrays.shape[-1]
+    if use_mean:
+        bounds = [(lower_PCA_limit, upper_PCA_limit)] * num_pca
+    else:
+        bounds = [(1.0, 8.0)] + \
+            [(lower_PCA_limit, upper_PCA_limit)] * num_pca
+    lo = np.array([b[0] for b in bounds])
+    hi = np.array([b[1] for b in bounds])
+
+    icrf = np.zeros((cfg.datapoints, chs))
+    e_init = np.zeros(chs)
+    e_final = np.zeros(chs)
+    n_iters = np.zeros(chs, int)
+    lower_dn, upper_dn = int(data_limits[0]), int(data_limits[1])
+
+    for c in range(chs):
+        stack_c = value_stacks[c]
+        if stack_c.ndim == 2:  # (P, N) -> (P, 1, N)
+            stack_c = stack_c[:, None, :]
+        std_c = None
+        if std_stacks is not None:
+            std_c = np.asarray(std_stacks[c], float)
+            if std_c.ndim == 2:
+                std_c = std_c[:, None, :]
+        mean_c = np.asarray(mean_icrf_arrays[c], float) if use_mean else None
+
+        def func(p, _s=stack_c, _sd=std_c, _m=mean_c):
+            return reference_energy(p, _m, np.asarray(pca_arrays[c], float),
+                                    _s, _sd, lower_dn, upper_dn, use_mean,
+                                    exposures_np, cfg.datapoints)
+
+        x0 = np.clip(np.asarray(seed_params[c], float), lo, hi)
+        solver = StrictDESolver(func, bounds, x0=x0, popsize=popsize,
+                                mutation=mutation,
+                                recombination=recombination, tol=tol,
+                                seed=rng_seed + c)
+        solver._calculate_population_energies()
+        solver._promote_lowest_energy()
+        e_init[c] = float(solver.population_energies[0])
+        number_of_iterations = 0
+        func_value = e_init[c]
+        for _step in solver:
+            number_of_iterations += 1
+            _, func_value = next(solver)  # the reference's double-step
+            if solver.converged() \
+                    or number_of_iterations == strict_maxiter \
+                    or func_value < energy_limit:
+                break
+        n_iters[c] = number_of_iterations
+        e_final[c] = min(func_value, float(solver.population_energies[0]))
+
+        result = solver.x
+        if use_mean:
+            curve = mean_c + pca_arrays[c] @ result
+        else:
+            curve = np.linspace(0, 1, cfg.datapoints) ** result[0] \
+                + pca_arrays[c] @ result[1:]
+        curve = curve + (1 - curve[-1])
+        curve[0] = 0.0
+        icrf[:, c] = curve
+
+    icrf[icrf < 0] = 0
+    icrf[icrf > 1] = 1
+
+    if cfg.bits != cfg.datapoints:
+        x_new = np.linspace(0, 1, cfg.bits)
+        x_old = np.linspace(0, 1, cfg.datapoints)
+        icrf = np.stack([np.interp(x_new, x_old, icrf[:, c])
+                         for c in range(chs)], axis=1)
+    return icrf, np.asarray(device_energies, float), e_init, e_final, \
+        n_iters

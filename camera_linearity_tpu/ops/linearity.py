@@ -338,7 +338,9 @@ def pair_dn_histograms(stack_dn: Array, ii: Array, jj: Array,
     evaluation afterwards is O(K * bits^2) independent of resolution.
     Built with segment_sum (sort-based; scatter-add serializes on TPU).
     """
-    dn = stack_dn.astype(jnp.int32)
+    # jnp.asarray, not .astype: a NumPy stack_dn would otherwise hit the
+    # vmapped tracer indices below with NumPy fancy indexing and fail
+    dn = jnp.asarray(stack_dn, jnp.int32)
 
     def one_pair(i, j):
         combined = dn[:, i] * bits + dn[:, j]

@@ -8,7 +8,8 @@ import pytest
 
 from camera_linearity_tpu import CameraConfig
 from camera_linearity_tpu.models.scipy_strict import (
-    StrictDESolver, calibration_strict, reference_energy)
+    StrictDESolver, calibration_hybrid, calibration_strict,
+    reference_energy)
 
 
 def _build_problem(seed=7, n_exp=6, pixels=300, datapoints=256):
@@ -170,3 +171,65 @@ def test_strict_x0_outside_bounds_raises():
     with pytest.raises(ValueError):
         StrictDESolver(lambda p: float(p @ p), [(-1, 1)] * 3,
                        x0=[5.0, 0, 0], seed=1)
+
+
+def test_calibration_hybrid_improves_on_device_seed():
+    """The hybrid's strict phase starts AT the device optimum (the seed
+    joins SciPy's initial population) and can only improve it under the
+    reference's float64 objective."""
+    from camera_linearity_tpu.models.calibration import calibration
+
+    stacks, exposures, mean_icrf, pca = _build_problem(pixels=200)
+    cfg = CameraConfig(num_of_chs=3, datapoints=256, bit_depth=8)
+    channel_stacks = (stacks, None, exposures)
+    pca_c = np.stack([pca] * 3)
+    mean_c = np.stack([mean_icrf] * 3)
+    device_kwargs = dict(maxiter=30, refine_rounds=0, polish_steps=0)
+
+    icrf, device_e, e_init, e_final, iters = calibration_hybrid(
+        -1.0, 1.0, channel_stacks=channel_stacks, pca_arrays=pca_c,
+        mean_icrf_arrays=mean_c, rng_seed=7, strict_maxiter=8,
+        popsize=4, config=cfg, device_kwargs=device_kwargs)
+
+    assert icrf.shape == (cfg.bits, 3)
+    assert np.all(icrf >= 0) and np.all(icrf <= 1)
+    np.testing.assert_allclose(icrf[0], 0.0)
+    assert np.all(iters >= 1)
+    # monotone improvement under the exact reference objective
+    assert np.all(e_final <= e_init + 1e-12)
+
+    # the strict phase started no worse than the device seed's own
+    # reference energy: re-derive the seed and score it with the
+    # reference objective
+    *_, seed_params = calibration(
+        -1.0, 1.0, channel_stacks=channel_stacks, pca_arrays=pca_c,
+        mean_icrf_arrays=mean_c, rng_seed=7, config=cfg,
+        popsize=4, return_params=True, **device_kwargs)
+    for c in range(3):
+        x0 = np.clip(seed_params[c], -1.0, 1.0)
+        seed_e = reference_energy(x0, mean_icrf, pca,
+                                  stacks[c][:, None, :], None, 5, 250,
+                                  True, exposures, 256)
+        assert e_init[c] <= seed_e + 1e-12
+
+
+def test_calibration_return_params_shape():
+    """return_params appends the solved (C, num_params) vectors and they
+    reproduce the returned base curve through icrf_from_params."""
+    from camera_linearity_tpu.models.calibration import calibration
+
+    stacks, exposures, mean_icrf, pca = _build_problem(pixels=120)
+    cfg = CameraConfig(num_of_chs=3, datapoints=256, bit_depth=8)
+    icrf, e0, e1, ratio, base, params = calibration(
+        -1.0, 1.0, channel_stacks=(stacks, None, exposures),
+        pca_arrays=np.stack([pca] * 3),
+        mean_icrf_arrays=np.stack([mean_icrf] * 3), rng_seed=3,
+        popsize=4, maxiter=10, refine_rounds=0, polish_steps=0,
+        config=cfg, return_base=True, return_params=True)
+    assert params.shape == (3, pca.shape[-1])
+    for c in range(3):
+        curve = mean_icrf + pca @ params[c]
+        curve = curve + (1 - curve[-1])
+        curve[0] = 0.0
+        np.testing.assert_allclose(base[:, c], np.clip(curve, 0, 1),
+                                   atol=5e-6)
