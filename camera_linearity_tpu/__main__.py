@@ -146,17 +146,27 @@ def cmd_calibrate(args) -> int:
                           None if stds is None else _np.asarray(stds),
                           _np.asarray(exposures))
         if args.hybrid:
+            device_kwargs = dict(maxiter=args.maxiter,
+                                 energy_form=args.energy_form)
+            if args.checkpoint:
+                # the device phase supports checkpoint/resume; the strict
+                # phase (a short seeded polish) does not
+                device_kwargs.update(checkpoint_path=args.checkpoint,
+                                     checkpoint_every=100)
             with timed("calibration_hybrid", log):
                 icrf, dev_e, e0, e1, iters = scipy_strict.calibration_hybrid(
                     args.lower, args.upper, channel_stacks=channel_stacks,
                     pca_arrays=pca, mean_icrf_arrays=mean,
                     rng_seed=args.seed, config=cfg,
-                    device_kwargs=dict(maxiter=args.maxiter,
-                                       energy_form=args.energy_form))
+                    strict_maxiter=args.strict_maxiter,
+                    device_kwargs=device_kwargs)
             log.info("hybrid mode: device energies (f32 objective): %s",
                      dev_e)
             log.info("hybrid mode: %s strict iterations per channel", iters)
         else:
+            if args.checkpoint:
+                log.warning("--checkpoint is ignored in --strict mode "
+                            "(the reference's SciPy solve has no resume)")
             with timed("calibration_strict", log):
                 icrf, e0, e1, iters = scipy_strict.calibration_strict(
                     args.lower, args.upper, channel_stacks=channel_stacks,
@@ -346,12 +356,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "onehot", "hist", "chunked"],
                    help="pin the objective formulation (default: auto "
                         "by memory footprint)")
-    c.add_argument("--strict", action="store_true",
-                   help="host float64 parity mode: reproduce the "
-                        "reference's seeded SciPy solve to the RNG draw")
-    c.add_argument("--hybrid", action="store_true",
-                   help="fast-then-exact: device solve finds the basin, "
-                        "then seeds the strict float64 SciPy solver")
+    mode = c.add_mutually_exclusive_group()
+    mode.add_argument("--strict", action="store_true",
+                      help="host float64 parity mode: reproduce the "
+                           "reference's seeded SciPy solve to the RNG draw")
+    mode.add_argument("--hybrid", action="store_true",
+                      help="fast-then-exact: device solve finds the basin, "
+                           "then seeds the strict float64 SciPy solver")
+    c.add_argument("--strict-maxiter", type=int, default=100,
+                   help="iteration cap for the hybrid's strict polish "
+                        "phase (--maxiter caps the device phase)")
     c.set_defaults(fn=cmd_calibrate)
 
     v = sub.add_parser("video", help="video mean/std frames")

@@ -306,6 +306,61 @@ def reference_energy(params, mean_icrf, pca, value_stack, std_stack,
 # strict calibration driver
 # ---------------------------------------------------------------------------
 
+def _solve_channel_strict(stack_c, std_c, mean_c, pca_c, bounds, x0,
+                          lower_dn, upper_dn, use_mean, exposures,
+                          datapoints, popsize, mutation, recombination,
+                          tol, seed, maxiter, energy_limit):
+    """One channel of the reference solve loop
+    (ICRF_calibration_exposure.py:342-376), shared by
+    :func:`calibration_strict` (cold ``x0``) and
+    :func:`calibration_hybrid` (device-seeded ``x0``) so the two stay in
+    lockstep.  2-D (P, N) stacks are reshaped to (P, 1, N) to keep the
+    reference's (X, Y, N, N) reduction order.  Each counted iteration
+    advances TWO generations (the reference's double-step, :364-366).
+
+    Returns (curve (datapoints,), e_init, e_final, n_iterations)."""
+    if stack_c.ndim == 2:  # (P, N) -> (P, 1, N)
+        stack_c = stack_c[:, None, :]
+    if std_c is not None and std_c.ndim == 2:
+        std_c = std_c[:, None, :]
+
+    def func(p):
+        return reference_energy(p, mean_c, pca_c, stack_c, std_c,
+                                lower_dn, upper_dn, use_mean,
+                                exposures, datapoints)
+
+    solver = StrictDESolver(func, bounds, x0=x0, popsize=popsize,
+                            mutation=mutation,
+                            recombination=recombination, tol=tol,
+                            seed=seed)
+    # materialize the initial energies up front (consumes no RNG draws;
+    # __next__ then skips its lazy init, exactly as SciPy does when
+    # energies are already finite) so e_init is the true pre-evolution
+    # best
+    solver._calculate_population_energies()
+    solver._promote_lowest_energy()
+    e_init = float(solver.population_energies[0])
+    number_of_iterations = 0
+    func_value = e_init
+    for _step in solver:
+        number_of_iterations += 1
+        _, func_value = next(solver)  # the reference's double-step
+        if solver.converged() or number_of_iterations == maxiter \
+                or func_value < energy_limit:
+            break
+    e_final = float(func_value)
+
+    result = solver.x
+    if use_mean:
+        curve = mean_c + pca_c @ result
+    else:
+        curve = np.linspace(0, 1, datapoints) ** result[0] \
+            + pca_c @ result[1:]
+    curve = curve + (1 - curve[-1])
+    curve[0] = 0.0
+    return curve, e_init, e_final, number_of_iterations
+
+
 def calibration_strict(lower_PCA_limit: float, upper_PCA_limit: float,
                        channel_stacks,
                        pca_arrays: np.ndarray,
@@ -360,54 +415,19 @@ def calibration_strict(lower_PCA_limit: float, upper_PCA_limit: float,
     lower_dn, upper_dn = int(data_limits[0]), int(data_limits[1])
 
     for c in range(chs):
-        stack_c = value_stacks[c]
-        if stack_c.ndim == 2:  # (P, N) -> (P, 1, N)
-            stack_c = stack_c[:, None, :]
         std_c = None
         if std_stacks is not None:
             std_c = np.asarray(std_stacks[c], float)
-            if std_c.ndim == 2:
-                std_c = std_c[:, None, :]
         mean_c = None
         if use_mean:
             mean_c = np.asarray(mean_icrf_arrays[c], float)
-
-        def func(p, _s=stack_c, _sd=std_c, _m=mean_c):
-            return reference_energy(p, _m, np.asarray(pca_arrays[c], float),
-                                    _s, _sd, lower_dn, upper_dn, use_mean,
-                                    exposures, cfg.datapoints)
-
-        solver = StrictDESolver(func, bounds, x0=x0, popsize=popsize,
-                                mutation=mutation,
-                                recombination=recombination, tol=tol,
-                                seed=rng_seed + c)
-        # materialize the initial energies up front (consumes no RNG
-        # draws; __next__ then skips its lazy init, exactly as SciPy does
-        # when energies are already finite) so e_init is the true
-        # pre-evolution best
-        solver._calculate_population_energies()
-        solver._promote_lowest_energy()
-        e_init[c] = float(solver.population_energies[0])
-        number_of_iterations = 0
-        func_value = np.inf
-        for _step in solver:
-            number_of_iterations += 1
-            _, func_value = next(solver)  # the reference's double-step
-            if solver.converged() or number_of_iterations == maxiter \
-                    or func_value < energy_limit:
-                break
-        n_iters[c] = number_of_iterations
-        e_final[c] = func_value
-
-        result = solver.x
-        if use_mean:
-            curve = mean_c + pca_arrays[c] @ result
-        else:
-            curve = np.linspace(0, 1, cfg.datapoints) ** result[0] \
-                + pca_arrays[c] @ result[1:]
-        curve = curve + (1 - curve[-1])
-        curve[0] = 0.0
-        icrf[:, c] = curve
+        icrf[:, c], e_init[c], e_final[c], n_iters[c] = \
+            _solve_channel_strict(
+                value_stacks[c], std_c, mean_c,
+                np.asarray(pca_arrays[c], float), bounds, x0,
+                lower_dn, upper_dn, use_mean, exposures, cfg.datapoints,
+                popsize, mutation, recombination, tol, rng_seed + c,
+                maxiter, energy_limit)
 
     icrf[icrf < 0] = 0
     icrf[icrf > 1] = 1
@@ -448,9 +468,11 @@ def calibration_hybrid(lower_PCA_limit: float, upper_PCA_limit: float,
 
     Because the seed joins the strict population (SciPy's ``x0``
     injection) and DE never discards its best member, the result can only
-    match or improve on the device optimum *as measured by the
-    reference's float64 energy*: the hybrid is an audit-grade answer at a
-    fraction of a cold strict solve's iteration budget.
+    match or improve on the *clipped seed's* energy *as measured by the
+    reference's float64 energy* (when the device optimum lies inside the
+    strict bounds the clipped seed IS the device optimum): the hybrid is
+    an audit-grade answer at a fraction of a cold strict solve's
+    iteration budget.
 
     ``device_kwargs`` forwards extra options to the device phase (e.g.
     ``maxiter``, ``energy_form``, ``mesh``).  Strict bounds clip the seed
@@ -502,50 +524,18 @@ def calibration_hybrid(lower_PCA_limit: float, upper_PCA_limit: float,
     lower_dn, upper_dn = int(data_limits[0]), int(data_limits[1])
 
     for c in range(chs):
-        stack_c = value_stacks[c]
-        if stack_c.ndim == 2:  # (P, N) -> (P, 1, N)
-            stack_c = stack_c[:, None, :]
         std_c = None
         if std_stacks is not None:
             std_c = np.asarray(std_stacks[c], float)
-            if std_c.ndim == 2:
-                std_c = std_c[:, None, :]
         mean_c = np.asarray(mean_icrf_arrays[c], float) if use_mean else None
-
-        def func(p, _s=stack_c, _sd=std_c, _m=mean_c):
-            return reference_energy(p, _m, np.asarray(pca_arrays[c], float),
-                                    _s, _sd, lower_dn, upper_dn, use_mean,
-                                    exposures_np, cfg.datapoints)
-
         x0 = np.clip(np.asarray(seed_params[c], float), lo, hi)
-        solver = StrictDESolver(func, bounds, x0=x0, popsize=popsize,
-                                mutation=mutation,
-                                recombination=recombination, tol=tol,
-                                seed=rng_seed + c)
-        solver._calculate_population_energies()
-        solver._promote_lowest_energy()
-        e_init[c] = float(solver.population_energies[0])
-        number_of_iterations = 0
-        func_value = e_init[c]
-        for _step in solver:
-            number_of_iterations += 1
-            _, func_value = next(solver)  # the reference's double-step
-            if solver.converged() \
-                    or number_of_iterations == strict_maxiter \
-                    or func_value < energy_limit:
-                break
-        n_iters[c] = number_of_iterations
-        e_final[c] = min(func_value, float(solver.population_energies[0]))
-
-        result = solver.x
-        if use_mean:
-            curve = mean_c + pca_arrays[c] @ result
-        else:
-            curve = np.linspace(0, 1, cfg.datapoints) ** result[0] \
-                + pca_arrays[c] @ result[1:]
-        curve = curve + (1 - curve[-1])
-        curve[0] = 0.0
-        icrf[:, c] = curve
+        icrf[:, c], e_init[c], e_final[c], n_iters[c] = \
+            _solve_channel_strict(
+                value_stacks[c], std_c, mean_c,
+                np.asarray(pca_arrays[c], float), bounds, x0,
+                lower_dn, upper_dn, use_mean, exposures_np, cfg.datapoints,
+                popsize, mutation, recombination, tol, rng_seed + c,
+                strict_maxiter, energy_limit)
 
     icrf[icrf < 0] = 0
     icrf[icrf > 1] = 1
