@@ -1,7 +1,8 @@
 """Visualization of pipeline outputs (reference: modules/data_visualization.py).
 
 Host-side matplotlib rendering of noise profiles, ICRF curves, image-channel
-panels, linearity statistics (with scipy ODR line fit), histograms and KDEs.
+panels, linearity statistics (with a closed-form orthogonal/ODR line fit —
+scipy.odr is deprecated and removed in SciPy 1.19), histograms and KDEs.
 Figures save to files; the Agg backend is forced so this works headless.
 """
 from __future__ import annotations
@@ -19,7 +20,7 @@ from ..config import CameraConfig, DEFAULT_CONFIG  # noqa: E402
 __all__ = [
     "plot_noise_profiles_3d", "plot_noise_profiles_2d", "plot_ICRF",
     "plot_image_set_channels_separately", "create_linearity_plots",
-    "plot_histograms", "plot_kde",
+    "orthogonal_line_fit", "plot_histograms", "plot_kde",
 ]
 
 # Channel-character -> matplotlib color for the reference's b/g/r names.
@@ -141,25 +142,105 @@ def _linear_function(beta, x):
     return beta[0] + beta[1] * x
 
 
+def orthogonal_line_fit(x: np.ndarray, y: np.ndarray, sy: np.ndarray
+                        ) -> Dict:
+    """Weighted orthogonal (ODR) line fit ``y ≈ A + B·x``.
+
+    Reproduces what the reference obtains from
+    ``ODR(RealData(x, y, sy=sy), linear_model, beta0=[0, 0]).run()``
+    (data_visualization.py:203-206) — unit x-weights, ``1/sy²``
+    y-weights — WITHOUT the deprecated ``scipy.odr`` package (removed in
+    SciPy 1.19).  For the 2-parameter line the ODR problem has an
+    analytic core: eliminating the per-point x-offsets δᵢ (each is a
+    scalar quadratic) profiles the objective to
+
+        S(A, B) = Σᵢ (yᵢ − A − B·xᵢ)² / (syᵢ² + B²),
+
+    A profiles out in closed form for fixed B, and the optimal B is the
+    root of dS/dB (envelope theorem) — located by a slope-angle grid
+    scan plus a machine-precision Brent root solve.  ``sd_beta`` follows
+    ODRPACK's covariance construction: the (A, B) Schur complement of
+    the augmented Gauss–Newton normal matrix,
+    ``M = Σᵢ w̃ᵢ·[[1, uᵢ], [uᵢ, uᵢ²]]`` with ``w̃ᵢ = 1/(syᵢ²+B²)`` and
+    ``uᵢ = xᵢ + δᵢ``, scaled by ``res_var = S/(n−2)``.
+
+    Returns ``{"beta": (A, B), "sd_beta": (dA, dB)}`` — agreement with
+    scipy.odr is pinned in tests/unit/test_visualization.py at
+    ODRPACK's own convergence tolerance while that package still exists.
+    """
+    from scipy.optimize import brentq
+
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    s2 = np.asarray(sy, float) ** 2
+    n = x.size
+
+    def a_of(b):
+        w = 1.0 / (s2 + b * b)
+        return float(np.sum(w * (y - b * x)) / np.sum(w))
+
+    def d_s(b):
+        # envelope theorem: ∂S/∂B at the profiled A — the dA/dB term
+        # vanishes because A is optimal
+        a = a_of(b)
+        w = 1.0 / (s2 + b * b)
+        r = y - a - b * x
+        return float(np.sum(-2.0 * x * r * w - 2.0 * b * r * r * w * w))
+
+    # coarse scan in slope-angle space (covers every slope uniformly,
+    # unlike a B-grid) to bracket the global minimum
+    theta = np.linspace(-np.pi / 2, np.pi / 2, 2049)[1:-1]
+    bs = np.tan(theta)
+    w = 1.0 / (s2[None, :] + (bs * bs)[:, None])
+    a_grid = np.sum(w * (y[None, :] - bs[:, None] * x[None, :]),
+                    axis=1) / np.sum(w, axis=1)
+    r = y[None, :] - a_grid[:, None] - bs[:, None] * x[None, :]
+    s_grid = np.sum(r * r * w, axis=1)
+    k = int(np.argmin(s_grid))
+    lo = bs[max(k - 1, 0)]
+    hi = bs[min(k + 1, bs.size - 1)]
+    if d_s(lo) < 0 < d_s(hi):
+        b_hat = brentq(d_s, lo, hi, xtol=1e-300, rtol=4 * np.finfo(float).eps,
+                       maxiter=200)
+    else:  # degenerate bracket (flat objective): golden-section fallback
+        from scipy.optimize import minimize_scalar
+        b_hat = float(minimize_scalar(
+            lambda b: np.sum((y - a_of(b) - b * x) ** 2 / (s2 + b * b)),
+            bracket=(lo, bs[k], hi) if lo < bs[k] < hi else None,
+            method="brent", options={"xtol": 1e-14}).x)
+
+    a_hat = a_of(b_hat)
+    w = 1.0 / (s2 + b_hat * b_hat)
+    resid = y - a_hat - b_hat * x
+    s_min = float(np.sum(resid * resid * w))
+    u = x + b_hat * resid * w  # xᵢ + δᵢ at the solution
+    sw, swu, swuu = np.sum(w), np.sum(w * u), np.sum(w * u * u)
+    det = sw * swuu - swu * swu
+    res_var = s_min / max(n - 2, 1)
+    sd_a = float(np.sqrt(swuu / det * res_var))
+    sd_b = float(np.sqrt(sw / det * res_var))
+    return {"beta": (float(a_hat), float(b_hat)), "sd_beta": (sd_a, sd_b)}
+
+
 def create_linearity_plots(stats: Dict, save_path: Path, fit_line: bool,
                            ylabel: str, symbol: str,
                            config: CameraConfig = DEFAULT_CONFIG) -> Dict:
     """Per-channel linearity scatter with uncertainty bars and an optional
-    scipy-ODR line fit (data_visualization.py:178-232).
+    orthogonal (ODR) line fit (data_visualization.py:178-232).
 
     Returns the per-channel ODR fits ``{ch_char: {"beta": (A, B),
     "sd_beta": (dA, dB)}}`` (empty when ``fit_line`` is off or there are
     fewer than 2 points) so the fitted coefficients are data, not just
     title text — tests/unit/test_visualization.py pins them against
-    direct scipy.odr values and analytic lines.  Intentional divergences
-    from the reference renderer: matplotlib color comes from a
-    name->color map instead of passing the channel NAME as the color
-    (reference crashes on 'blue'≠valid for non-RGB configs), a 1-channel
-    config gets a 1-element axes list (reference indexes axes[1]
-    unconditionally), and a missing 'errors' entry skips the error bars
-    instead of raising."""
-    from scipy.odr import ODR, Model, RealData
-
+    scipy.odr values (while that deprecated package exists) and analytic
+    lines; the fit itself is :func:`orthogonal_line_fit`, a closed-form
+    replacement for the reference's scipy.odr call (removed in SciPy
+    1.19).  Intentional divergences from the reference renderer:
+    matplotlib color comes from a name->color map instead of passing the
+    channel NAME as the color (reference crashes on 'blue'≠valid for
+    non-RGB configs), a 1-channel config gets a 1-element axes list
+    (reference indexes axes[1] unconditionally), and a missing 'errors'
+    entry skips the error bars instead of raising."""
     x = np.asarray(stats["ratios"])
     fits: Dict = {}
     fig, axes = plt.subplots(1, config.num_of_chs, figsize=(20, 5))
@@ -174,20 +255,14 @@ def create_linearity_plots(stats: Dict, save_path: Path, fit_line: bool,
             np.asarray(stats["errors"])[:, c]
 
         if fit_line and len(x) >= 2:
-            linear_model = Model(_linear_function)
             sy = np.where(y_std == 0, 1e-12, y_std)
-            odr = ODR(RealData(x, y, sy=sy), linear_model, beta0=[0.0, 0.0])
-            odr_output = odr.run()
-            fits[cc] = {"beta": tuple(float(b) for b in odr_output.beta),
-                        "sd_beta": tuple(float(b)
-                                         for b in odr_output.sd_beta)}
-            line = _linear_function(odr_output.beta, x)
-            ax.plot(x, line, c="black")
+            fit = orthogonal_line_fit(x, y, sy)
+            fits[cc] = fit
+            beta, sd_beta = fit["beta"], fit["sd_beta"]
+            ax.plot(x, _linear_function(beta, x), c="black")
             ax.set_title(
-                f"{cc}: A={odr_output.beta[0]:.4f} "
-                f"$\\pm$ {odr_output.sd_beta[0]:.4f}, "
-                f"B={odr_output.beta[1]:.4f} "
-                f"$\\pm$ {odr_output.sd_beta[1]:.4f}", fontsize=12)
+                f"{cc}: A={beta[0]:.4f} $\\pm$ {sd_beta[0]:.4f}, "
+                f"B={beta[1]:.4f} $\\pm$ {sd_beta[1]:.4f}", fontsize=12)
 
         ax.errorbar(x, y, yerr=(y_std / 5), elinewidth=1, c=color,
                     marker=None, linestyle="none", markersize=3, alpha=0.5,
