@@ -128,6 +128,49 @@ def bench_config3():
           flush=True)
 
 
+def _scipy_baseline(stacks, exposures, mean_icrf, pca):
+    """MEASURED serial-SciPy reference for config 4, cached to /tmp.
+
+    Runs the reference's own solver loop
+    (benchmarks/bench_calibration.py scipy_reference_seconds — SciPy
+    DifferentialEvolutionSolver, identical hyperparameters and budget,
+    ICRF_calibration_exposure.py:357-370) on channel 0 of the IDENTICAL
+    problem, once per host: the result is cached in /tmp keyed by a
+    digest of the problem arrays, so bench reruns and respawned child
+    attempts skip the ~40 s CPU solve.  The artifact is self-contained:
+    it carries the measured seconds, the generation count, and the
+    measurement timestamp instead of a constant.
+    """
+    import hashlib
+    from pathlib import Path
+    from bench_calibration import scipy_reference_seconds
+    digest = hashlib.sha256(
+        np.ascontiguousarray(stacks[0]).tobytes()
+        + np.asarray(exposures, float).tobytes()
+        + np.asarray(mean_icrf, float).tobytes()
+        + np.asarray(pca, float).tobytes()).hexdigest()[:16]
+    cache = Path("/tmp") / f"cl_scipy_baseline_{digest}.json"
+    if cache.exists():
+        try:
+            rec = json.loads(cache.read_text())
+            if rec.get("digest") == digest:
+                return rec
+        except (ValueError, OSError):
+            pass
+    wall, energy, nit = scipy_reference_seconds(stacks[0], exposures,
+                                                mean_icrf, pca)
+    rec = {"digest": digest, "scipy_1ch_s": round(wall, 2),
+           "scipy_converged_at": nit,
+           "scipy_final_energy": round(float(energy), 5),
+           "scipy_measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime())}
+    try:
+        cache.write_text(json.dumps(rec))
+    except OSError:
+        pass
+    return rec
+
+
 def bench_config4():
     import jax.numpy as jnp
     from camera_linearity_tpu import CameraConfig
@@ -153,13 +196,18 @@ def bench_config4():
     t0 = time.time()
     _, _, e1, _ = solve()
     warm = time.time() - t0
-    # SciPy serial 3-channel reference on this exact problem, measured on
-    # this host (benchmarks/bench_calibration.py; RESULTS.md): 34-45 s per
-    # channel at identical hyperparameters -> 110 s serial is conservative.
-    scipy_serial_s = 110.0
+    # serial 3-channel SciPy = 3 x the measured 1-channel wall (the
+    # reference solves channels independently; its joblib n_jobs=3 mode
+    # divides this by at most 3)
+    base = _scipy_baseline(stacks, exposures, mean_icrf, pca)
+    scipy_serial_s = 3.0 * base["scipy_1ch_s"]
     speedup = scipy_serial_s / warm
     print(json.dumps({"metric": "config4_calibration_3ch_wall",
                       "unit": "s", "value": round(warm, 3),
+                      "scipy_measured_s": round(scipy_serial_s, 2),
+                      "scipy_1ch_s": base["scipy_1ch_s"],
+                      "scipy_converged_at": base["scipy_converged_at"],
+                      "scipy_measured_at": base["scipy_measured_at"],
                       "speedup_vs_scipy": round(speedup, 1),
                       "vs_target_10x": round(speedup / 10.0, 2),
                       "final_energies": [round(float(e), 4) for e in e1]}),
