@@ -229,3 +229,43 @@ def test_process_hdr_image_with_base_curves(rng, ftype):
                                np.asarray(plain.measurand.val), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(with_base.measurand.std),
                                np.asarray(plain.measurand.std), rtol=1e-12)
+
+
+@pytest.mark.parametrize("bit_depth", [10, 14])
+def test_process_hdr_image_arbitrary_bit_depth(rng, bit_depth):
+    """A 10/14-bit CameraConfig routes end-to-end: the reference supports
+    arbitrary BIT_DEPTH (global_settings.py:36), so a config-sized ICRF
+    (2**bit_depth entries, the reference's np.interp expansion) must flow
+    through process_HDR_image and agree with the float64 oracle merge on
+    the expanded tables."""
+    from tests.unit.test_hdr_merge import numpy_reference_merge
+    bits = 2 ** bit_depth
+    cfg = CameraConfig(compat_mode="corrected", bit_depth=bit_depth)
+    assert cfg.bits == bits and cfg.max_dn == bits - 1
+    n, h, w, c = 3, 16, 16, 3
+    stack_val = rng.uniform(0.05, 0.95, (n, h, w, c))
+    stack_std = rng.uniform(0.001, 0.01, (n, h, w, c))
+    base = np.sort(rng.uniform(0, 1, (256, c)), axis=0)
+    base[0], base[-1] = 0.0, 1.0
+    diff_base = np.gradient(base, 2 / 255, axis=0)
+    x, xb = np.arange(bits) / (bits - 1), np.arange(256) / 255.0
+    icrf = np.stack([np.interp(x, xb, base[:, ch]) for ch in range(c)], 1)
+    icrf_diff = np.stack(
+        [np.interp(x, xb, diff_base[:, ch]) for ch in range(c)], 1)
+
+    sets = [_img(f"{ms}ms BF a 50x.tif", stack_val[i], stack_std[i])
+            for i, ms in enumerate([2, 4, 8])]
+    for s in sets:
+        s.config = cfg
+    series = ExposureSeries(input_image_sets=sets, config=cfg)
+    hdr = series.process_HDR_image(
+        ICRF=jnp.asarray(icrf), ICRF_diff=jnp.asarray(icrf_diff),
+        ICRF_base=jnp.asarray(base), ICRF_diff_base=jnp.asarray(diff_base),
+        list_of_dark_fields=[], apply_flat_field=False)
+    oval, ostd = numpy_reference_merge(
+        stack_val, stack_std, np.array([2, 4, 8]) / 1000, icrf, icrf_diff,
+        mode="corrected")
+    np.testing.assert_allclose(np.asarray(hdr.measurand.val), oval,
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hdr.measurand.std), ostd,
+                               rtol=1e-3, atol=2e-6)

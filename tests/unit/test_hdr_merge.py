@@ -33,7 +33,10 @@ def numpy_reference_merge(stack_val, stack_std, exposures, icrf, icrf_diff,
         t = exposures[i]
         w = np.e ** (-30 * (x - 0.5) ** 2)
         dw = -60 * (x - 0.5) * w
-        idx = np.around(x * (icrf.shape[0] - 1)).astype(np.uint8)
+        # int64, not the reference's uint8 (image_set.py:223 loads 8-bit
+        # images): this oracle also serves >8-bit tables, where a uint8
+        # index would silently wrap mod 256
+        idx = np.around(x * (icrf.shape[0] - 1)).astype(np.int64)
         g = icrf[idx, chans]
         dg = icrf_diff[idx, chans] * s
         val += (w * g) / (sw * t)

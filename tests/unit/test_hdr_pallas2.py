@@ -122,10 +122,11 @@ def _interp_tables(rng, bits, c):
             icrf.astype(np.float32), diff.astype(np.float32))
 
 
-@pytest.mark.parametrize("bits", [4096, 65536])
+@pytest.mark.parametrize("bits", [1024, 4096, 16384, 65536])
 def test_lerp_kernel_matches_expanded_radix(inputs, rng, bits):
     """Piecewise-linear kernel on base curves == jnp radix merge on the
-    np.interp-expanded tables (merge semantics of 12/16-bit stacks)."""
+    np.interp-expanded tables (merge semantics of 10/12/14/16-bit stacks;
+    the reference supports arbitrary BIT_DEPTH, global_settings.py:36)."""
     from camera_linearity_tpu.ops.hdr_pallas2 import merge_nhwc_lerp
     stack_val, stack_std, exposures, _, _ = inputs
     c = stack_val.shape[-1]
