@@ -104,6 +104,18 @@ def measure_stats_rate(height: int, width: int) -> float:
     return batch.shape[0] * height * width / 1e6 / dt
 
 
+def make_calibration_basis(datapoints=256, n_basis=5):
+    """DoRF-style PCA basis for the calibration leg (same construction as
+    bench_calibration.build_problem, reused so the solver compile caches
+    across benches)."""
+    x = np.linspace(0, 1, datapoints)
+    curves = np.stack([x ** g for g in np.linspace(1.6, 3.0, 25)])
+    mean_icrf = curves.mean(axis=0)
+    _, _, vt = np.linalg.svd(curves - mean_icrf, full_matrices=False)
+    pca = vt[:n_basis].T
+    return np.stack([pca] * 3), np.stack([mean_icrf] * 3)
+
+
 def run(frames: int, scenes: int, height: int, width: int,
         exposures_ms=(5, 10, 20)) -> dict:
     from camera_linearity_tpu import native
@@ -114,6 +126,21 @@ def run(frames: int, scenes: int, height: int, width: int,
     paths = make_videos(frames, height, width, exposures_ms)
     icrf = (np.linspace(0, 1, 256)[:, None].repeat(3, 1) ** 2.2)
 
+    # BASELINE config 5 says "calibrate + merge": solve the ICRF from the
+    # decoded stacks inside the measured region (CL_BENCH_NO_CAL skips the
+    # leg for A/B attribution), and ship the std planes over the tunnel as
+    # f16 (CL_WIRE_STD overrides; qualification table in
+    # docs/kernel_design.md "Wire formats").
+    wire_std = os.environ.get("CL_WIRE_STD", "f16")
+    calibrate = None
+    if not os.environ.get("CL_BENCH_NO_CAL"):
+        pca, mean_icrf = make_calibration_basis()
+        # ~2000 subsampled pixels, the reference's data_spacing ballpark
+        spacing = max(1, height * width // 2000)
+        calibrate = dict(pca_arrays=pca, mean_icrf_arrays=mean_icrf,
+                         spacing=spacing, popsize=15, maxiter=1000,
+                         tol=0.01, rng_seed=7)
+
     # Pay every one-time cost BEFORE the clock: device attach (on tunneled
     # setups the first device op can wait tens of seconds for another
     # process's chip lease), native library build/load, buffer prefault,
@@ -123,15 +150,18 @@ def run(frames: int, scenes: int, height: int, width: int,
     import sys
     t_att = time.time()
     warm = pipeline.prewarm_batch_video_to_hdr(scenes, len(exposures_ms),
-                                               height, width, icrf)
+                                               height, width, icrf,
+                                               calibrate=calibrate)
     print(f"[bench_video] prewarm (device attach, native build, buffers, "
-          f"transfer, merge compile): {time.time()-t_att:.1f}s",
+          f"transfer, merge+calibration compile): {time.time()-t_att:.1f}s",
           file=sys.stderr, flush=True)
 
     scene_map = {f"scene{i}": paths for i in range(scenes)}
     obs.reset_stage_times()
     t0 = time.time()
-    results = pipeline.batch_video_to_hdr(scene_map, icrf)
+    results = pipeline.batch_video_to_hdr(scene_map, icrf,
+                                          wire_std=wire_std,
+                                          calibrate=calibrate)
     # e2e ends with the HDR maps produced, COMPLETE, and device-resident
     # (where any further processing in this framework runs).  Block on the
     # merge outputs themselves — compiling a fresh checksum op here can
@@ -172,6 +202,10 @@ def run(frames: int, scenes: int, height: int, width: int,
         "stats_rate_mps": round(stats_rate, 1),
         "h2d_mbps": warm.get("h2d_mbps"),
         "d2h_materialize_s": round(d2h, 1),
+        # wire format + calibration leg (BASELINE's "calibrate + merge"):
+        # the solve itself is ~1.3 s and shows up in stages.calibrate_s
+        "wire_std": wire_std,
+        "calibration_leg": calibrate is not None,
         "checksum": round(total, 2),
         # per-stage busy time (overlapped stages sum to MORE than wall_s;
         # the surplus is work hidden behind decode).  decode_s/stats_s run

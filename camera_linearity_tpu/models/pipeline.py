@@ -8,6 +8,7 @@ map with uncertainty — everything after decode on device.
 """
 from __future__ import annotations
 
+import os
 import threading
 from collections import OrderedDict
 from pathlib import Path
@@ -173,7 +174,8 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
                                height: int, width: int, ICRF,
                                ICRF_diff=None,
                                config: CameraConfig = DEFAULT_CONFIG,
-                               batch_size: int = 32) -> dict:
+                               batch_size: int = 32,
+                               calibrate: Optional[dict] = None) -> dict:
     """Pay every one-time cost of the batched video->HDR flow up front.
 
     Benchmarks and latency-sensitive callers invoke this BEFORE their
@@ -231,6 +233,25 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
         # remote transports under-sync on block_until_ready; a scalar
         # fetch proves the kernel actually ran
         float(jnp.sum(out_val[0, 0, 0]))
+    if calibrate is not None:
+        # the calibration leg's solver compile is shape- AND
+        # hyperparameter-dependent; run the leg once at the exact
+        # geometry so the measured region pays execution only.  The warm
+        # batch must be REALISTIC (a gamma-ish ramp, not zeros): on
+        # degenerate all-equal DNs every candidate energy is inf, the
+        # solver's data-dependent host stages (refine/polish rounds)
+        # skip, and their programs would compile inside the measured
+        # region instead (observed: a 143 s calibrate_s that is ~1.4 s
+        # warm).
+        with timed("prewarm: calibration leg compile+run", log):
+            px = height * width * cfg.num_of_chs
+            ramp = jnp.linspace(0.02, 0.98, px, dtype=ftype).reshape(
+                1, 1, height, width, cfg.num_of_chs)
+            scale = (ex / ex[-1]).astype(ftype).reshape(1, n_exposures,
+                                                        1, 1, 1)
+            _calibrate_from_batch(
+                jnp.clip(ramp * scale, 0, 1) ** (1 / 2.2), ex, cfg,
+                calibrate)
     return {"h2d_mbps": round(h2d_mbps, 1)}
 
 
@@ -379,10 +400,50 @@ def batch_video_to_hdr_distributed(scenes: Dict[str, Sequence[Path]],
     return results
 
 
+def _calibrate_from_batch(batch_val: Array, exposures: Array,
+                          cfg: CameraConfig, spec: dict):
+    """The config-5 calibration leg: solve the ICRF from the
+    freshly-stacked scene batch so the merge that follows uses the solved
+    curve (the reference flow: video_processing.py:161-219 mean/std
+    frames feeding ICRF_calibration_exposure.py:288's solve before the
+    merge at exposure_series.py:317-397).
+
+    The first scene's mean frames are subsampled on a fixed flat stride
+    (``spec['spacing']``, the reference's data_spacing analog), quantized
+    to datapoints-resolution DNs on device, and handed to the
+    device-resident DE solver.  ``spec`` must carry ``pca_arrays`` (and
+    usually ``mean_icrf_arrays``); remaining keys forward to
+    :func:`models.calibration.calibration`.  Returns the solved
+    ``(bits, C)`` ICRF and its derivative.
+    """
+    from ..ops.linearize import icrf_derivative
+    from . import calibration as cal
+    spec = dict(spec)
+    spacing = int(spec.pop("spacing", 64))
+    lower = spec.pop("lower", -1.0)
+    upper = spec.pop("upper", 1.0)
+    pca = np.asarray(spec.pop("pca_arrays"))
+    mean_icrf = spec.pop("mean_icrf_arrays", None)
+    mean_icrf = None if mean_icrf is None else np.asarray(mean_icrf)
+    n, h, w, c = batch_val.shape[1:]
+    flat = batch_val[0].reshape(n, h * w, c)
+    sub = flat[:, ::spacing, :]                       # (N, P, C)
+    dn = jnp.clip(jnp.round(sub * (cfg.datapoints - 1)), 0,
+                  cfg.datapoints - 1).astype(jnp.int32)
+    stacks = jnp.transpose(dn, (2, 1, 0))             # (C, P, N)
+    icrf, _, _, _ = cal.calibration(
+        lower, upper, channel_stacks=(stacks, None, exposures),
+        pca_arrays=pca, mean_icrf_arrays=mean_icrf, config=cfg, **spec)
+    icrf_j = jnp.asarray(icrf)
+    return icrf_j, icrf_derivative(icrf_j, cfg.bits)
+
+
 def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                        ICRF_diff: Optional[Array] = None,
                        config: CameraConfig = DEFAULT_CONFIG,
-                       mesh=None) -> Dict[str, ImageSet]:
+                       mesh=None, wire_std: Optional[str] = None,
+                       calibrate: Optional[dict] = None
+                       ) -> Dict[str, ImageSet]:
     """Batch of scenes: stack every scene's series and merge them together.
 
     With a mesh, the merge runs sharded (scenes over ``data``, rows over
@@ -396,6 +457,19 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     Stage busy-times accumulate in ``utils.observability.stage_times``
     (decode_s / stats_s / upload_s / assemble_s / merge_s ...) so the
     end-to-end wall is attributable from artifacts alone.
+
+    ``wire_std`` picks the std plane's WIRE dtype: ``"f32"`` (default;
+    env ``CL_WIRE_STD`` overrides) ships it at full device width,
+    ``"f16"`` halves the std bytes on the link and upcasts on device —
+    quantization is <=2^-11 relative on std only (val is untouched),
+    measured against the f32 path in docs/kernel_design.md "Wire
+    formats"; it is inside every kernel family's std tolerance, so
+    link-bound runs get ~25% fewer total bytes for free.
+
+    ``calibrate`` (optional dict) runs the config-5 calibration leg: the
+    ICRF is SOLVED from the decoded stacks (see
+    :func:`_calibrate_from_batch`) and replaces ``ICRF`` for the merge;
+    stage time lands in ``calibrate_s``.
     """
     if jax.process_count() > 1:
         # multi-host runtime: scenes shard over the DCN data axis, each
@@ -403,6 +477,10 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
         # for the contract — notably, only local scenes are returned)
         return batch_video_to_hdr_distributed(scenes, ICRF, ICRF_diff,
                                               config, mesh)
+    wire = wire_std or os.environ.get("CL_WIRE_STD", "f32")
+    if wire not in ("f32", "f16"):
+        raise ValueError(f"wire_std must be 'f32' or 'f16', got {wire!r}")
+    wire_f16 = wire == "f16"
     from concurrent.futures import ThreadPoolExecutor
     from ..ops.linearize import icrf_derivative
     from ..utils.general import set_thread_priority
@@ -428,9 +506,17 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
 
     def _upload(v, s):
         with _stage("upload_s"):
+            if wire_f16:
+                # the astype copy also decouples the pool buffer, so the
+                # CPU-backend aliasing copy below is not needed for s
+                s = s.astype(np.float16)
+            elif _aliasing_backend:
+                s = np.array(s, copy=True)
             if _aliasing_backend:
-                v, s = np.array(v, copy=True), np.array(s, copy=True)
+                v = np.array(v, copy=True)
             dv, ds = stage_to_device(v), stage_to_device(s)
+            if wire_f16:
+                ds = ds.astype(ftype)  # on-device upcast, one cheap op
             jax.block_until_ready((dv, ds))
         return dv, ds
 
@@ -505,6 +591,12 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
         if pool_key is not None:
             _return_scene_stack_pool(pool_key, pool)
     log.info("batch_video_to_hdr: %d scenes staged", len(names))
+
+    if calibrate is not None:
+        with _stage("calibrate_s"):
+            icrf_j, icrf_diff_j = _calibrate_from_batch(
+                batch_val, exposures, cfg, calibrate)
+        log.info("batch_video_to_hdr: merged with the batch-solved ICRF")
 
     with _stage("merge_s"):
         if mesh is not None:

@@ -140,6 +140,54 @@ def test_batch_video_to_hdr(scene_videos, tmp_path, rng):
     np.testing.assert_allclose(np.asarray(out["a"].measurand.val),
                                np.asarray(out["b"].measurand.val))
 
+def test_batch_video_to_hdr_wire_std_f16(scene_videos):
+    """The f16 std wire format (docs/kernel_design.md "Wire formats"):
+    val output is bitwise identical to the f32-wire run (the val plane is
+    untouched), std deviates by at most the f16 quantization bound
+    (2^-11 relative) propagated through the merge."""
+    paths, _ = scene_videos
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
+    scenes = {"a": paths}
+    full = pipeline.batch_video_to_hdr(scenes, jnp.asarray(icrf),
+                                       wire_std="f32")["a"]
+    half = pipeline.batch_video_to_hdr(scenes, jnp.asarray(icrf),
+                                       wire_std="f16")["a"]
+    np.testing.assert_array_equal(np.asarray(half.measurand.val),
+                                  np.asarray(full.measurand.val))
+    np.testing.assert_allclose(np.asarray(half.measurand.std),
+                               np.asarray(full.measurand.std),
+                               rtol=1.5e-3, atol=1e-9)
+    with pytest.raises(ValueError, match="wire_std"):
+        pipeline.batch_video_to_hdr(scenes, jnp.asarray(icrf),
+                                    wire_std="f8")
+
+
+def test_batch_video_to_hdr_calibration_leg(scene_videos):
+    """BASELINE config 5's "calibrate + merge": the ICRF solves from the
+    decoded stacks and drives the merge (a gamma-distorted scene merged
+    with the SOLVED curve must differ from the identity-ICRF merge, and
+    the leg's stage time must be attributed)."""
+    from camera_linearity_tpu.utils import observability as obs
+    paths, _ = scene_videos
+    x = np.linspace(0, 1, 256)
+    curves = np.stack([x ** g for g in np.linspace(1.6, 3.0, 25)])
+    mean_icrf = curves.mean(axis=0)
+    _, _, vt = np.linalg.svd(curves - mean_icrf, full_matrices=False)
+    spec = dict(pca_arrays=np.stack([vt[:3].T] * 3),
+                mean_icrf_arrays=np.stack([mean_icrf] * 3),
+                spacing=7, popsize=6, maxiter=4, rng_seed=3)
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
+    obs.reset_stage_times()
+    out = pipeline.batch_video_to_hdr({"a": paths}, jnp.asarray(icrf),
+                                      calibrate=spec)["a"]
+    assert obs.snapshot_stage_times().get("calibrate_s", 0) > 0
+    assert np.isfinite(np.asarray(out.measurand.val)).all()
+    plain = pipeline.batch_video_to_hdr({"a": paths},
+                                        jnp.asarray(icrf))["a"]
+    assert not np.allclose(np.asarray(out.measurand.val),
+                           np.asarray(plain.measurand.val))
+
+
 def test_batch_video_to_hdr_rejects_mismatched_exposures(scene_videos,
                                                          tmp_path):
     """Scenes with differing exposure sets must be rejected, not silently
