@@ -66,6 +66,7 @@ def _icrf(rng, bits, c):
 
 
 def bench_config1():
+    import jax
     import jax.numpy as jnp
     from camera_linearity_tpu.ops import hdr
     rng = np.random.default_rng(1)
@@ -73,8 +74,32 @@ def bench_config1():
     val = jnp.asarray(rng.integers(0, 256, (n, h, w, c)), jnp.uint8)
     exposures = jnp.asarray(0.001 * 2.0 ** np.arange(n), jnp.float32)
     icrf, icrf_diff = _icrf(rng, 256, c)
+    # the inputs are already device-resident (staged once above), so the
+    # single-call number below is NOT paying per-call staging — any gap
+    # to the kernel time is pure dispatch latency
     dt = _time(lambda: hdr.merge_hdr(val, None, exposures, icrf, icrf_diff))
-    # A single 0.26 MP merge is dispatch-bound (~8 ms tunnel round-trip);
+
+    # dispatch-floor attribution: K kernel executions inside ONE jitted
+    # fori_loop = one dispatch; per-iteration time is the on-device
+    # kernel cost.  The chained carry (a data-dependent no-op added to
+    # the input) stops XLA hoisting the loop-invariant merge.
+    k_loop = 50
+
+    @jax.jit
+    def kernel_train(v0):
+        def body(_, acc):
+            bump = (acc[0, 0, 0] < -1).astype(v0.dtype)  # always 0
+            ov, _ = hdr.merge_hdr(v0 + bump, None, exposures, icrf,
+                                  icrf_diff)
+            return ov
+        return jax.lax.fori_loop(0, k_loop, body,
+                                 jnp.zeros((h, w, c), jnp.float32))
+
+    dt_train = _time(lambda: (kernel_train(val),), iters=3)
+    kernel_ms = dt_train / k_loop * 1e3
+    dispatch_ms = max(0.0, dt * 1e3 - kernel_ms)
+
+    # A single 0.26 MP merge is dispatch-bound (~ms tunnel round-trip);
     # a batch of K such stacks in one call shows the chip's actual
     # capability at this shape (vmap folds the batch into the kernel grid)
     k = 32
@@ -82,10 +107,16 @@ def bench_config1():
                         jnp.float32)
     dtb = _time(lambda: hdr.merge_batch(batch, None, exposures, icrf,
                                         icrf_diff))
-    # a lone 0.26 MP stack cannot hide the ~8 ms tunnel dispatch; flag it
-    # so the single number reads correctly next to value_batched
+    # a lone 0.26 MP stack cannot hide the dispatch; the measured
+    # kernel/dispatch split next to value_batched lets the single number
+    # read correctly: value_kernel_only is what the chip does once the
+    # call overhead is amortized or batched away
     print(json.dumps({"metric": "config1_merge_gray_nostd", "unit": "MP/s",
                       "value": round(h * w / 1e6 / dt, 2),
+                      "value_kernel_only": round(
+                          h * w / 1e6 / (kernel_ms / 1e3), 2),
+                      "kernel_ms": round(kernel_ms, 3),
+                      "dispatch_ms": round(dispatch_ms, 3),
                       "value_batched": round(k * h * w / 1e6 / dtb, 2),
                       "batched_stacks": k, "dispatch_bound": True}),
           flush=True)
