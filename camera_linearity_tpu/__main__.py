@@ -159,6 +159,7 @@ def cmd_calibrate(args) -> int:
                     pca_arrays=pca, mean_icrf_arrays=mean,
                     rng_seed=args.seed, config=cfg,
                     strict_maxiter=args.strict_maxiter,
+                    strict_stall_limit=args.strict_stall_limit,
                     device_kwargs=device_kwargs)
             log.info("hybrid mode: device energies (f32 objective): %s",
                      dev_e)
@@ -366,6 +367,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--strict-maxiter", type=int, default=100,
                    help="iteration cap for the hybrid's strict polish "
                         "phase (--maxiter caps the device phase)")
+    c.add_argument("--strict-stall-limit", type=int, default=None,
+                   help="hybrid polish early stop: end when the best "
+                        "energy has not improved for this many "
+                        "iterations (the match-or-improve guarantee is "
+                        "unaffected; ~10 cuts the audit cost ~5x)")
     c.set_defaults(fn=cmd_calibrate)
 
     v = sub.add_parser("video", help="video mean/std frames")

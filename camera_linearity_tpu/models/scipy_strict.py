@@ -309,7 +309,8 @@ def reference_energy(params, mean_icrf, pca, value_stack, std_stack,
 def _solve_channel_strict(stack_c, std_c, mean_c, pca_c, bounds, x0,
                           lower_dn, upper_dn, use_mean, exposures,
                           datapoints, popsize, mutation, recombination,
-                          tol, seed, maxiter, energy_limit):
+                          tol, seed, maxiter, energy_limit,
+                          stall_limit: Optional[int] = None):
     """One channel of the reference solve loop
     (ICRF_calibration_exposure.py:342-376), shared by
     :func:`calibration_strict` (cold ``x0``) and
@@ -317,6 +318,12 @@ def _solve_channel_strict(stack_c, std_c, mean_c, pca_c, bounds, x0,
     lockstep.  2-D (P, N) stacks are reshaped to (P, 1, N) to keep the
     reference's (X, Y, N, N) reduction order.  Each counted iteration
     advances TWO generations (the reference's double-step, :364-366).
+
+    ``stall_limit`` (opt-in; hybrid audits use it) additionally stops
+    when the best energy has not improved for that many counted
+    iterations — DE never discards its best member, so stopping on a
+    stall cannot return anything worse than the current best.  The
+    default (None) keeps the reference's exact stopping rule.
 
     Returns (curve (datapoints,), e_init, e_final, n_iterations)."""
     if stack_c.ndim == 2:  # (P, N) -> (P, 1, N)
@@ -342,11 +349,18 @@ def _solve_channel_strict(stack_c, std_c, mean_c, pca_c, bounds, x0,
     e_init = float(solver.population_energies[0])
     number_of_iterations = 0
     func_value = e_init
+    best, stalled = e_init, 0
     for _step in solver:
         number_of_iterations += 1
         _, func_value = next(solver)  # the reference's double-step
+        if stall_limit is not None:
+            if func_value < best:
+                best, stalled = func_value, 0
+            else:
+                stalled += 1
         if solver.converged() or number_of_iterations == maxiter \
-                or func_value < energy_limit:
+                or func_value < energy_limit \
+                or (stall_limit is not None and stalled >= stall_limit):
             break
     e_final = float(func_value)
 
@@ -449,6 +463,7 @@ def calibration_hybrid(lower_PCA_limit: float, upper_PCA_limit: float,
                        energy_limit: float = 0.0,
                        rng_seed: int = 7,
                        strict_maxiter: int = 100,
+                       strict_stall_limit: Optional[int] = None,
                        tol: float = 0.01,
                        mutation: Tuple[float, float] = (0.0, 1.95),
                        recombination: float = 0.4,
@@ -477,7 +492,12 @@ def calibration_hybrid(lower_PCA_limit: float, upper_PCA_limit: float,
     ``device_kwargs`` forwards extra options to the device phase (e.g.
     ``maxiter``, ``energy_form``, ``mesh``).  Strict bounds clip the seed
     inward when the device's refinement rounds stepped slightly outside
-    the original box.
+    the original box.  ``strict_stall_limit`` stops the polish early
+    when the best energy has not improved for that many iterations —
+    measured on the production-scale bench problem the full 100-iteration
+    polish confirms-but-never-improves the seed (RESULTS.md "Round 5"),
+    so a stall limit of ~10 cuts the audit cost ~5x without weakening
+    the match-or-improve guarantee (DE never discards its best member).
 
     Returns (ICRF (bits, C), device_energies (C,), strict_initial (C,),
     strict_final (C,), n_iterations (C,)) — the two energy scales are the
@@ -535,7 +555,8 @@ def calibration_hybrid(lower_PCA_limit: float, upper_PCA_limit: float,
                 np.asarray(pca_arrays[c], float), bounds, x0,
                 lower_dn, upper_dn, use_mean, exposures_np, cfg.datapoints,
                 popsize, mutation, recombination, tol, rng_seed + c,
-                strict_maxiter, energy_limit)
+                strict_maxiter, energy_limit,
+                stall_limit=strict_stall_limit)
 
     icrf[icrf < 0] = 0
     icrf[icrf > 1] = 1

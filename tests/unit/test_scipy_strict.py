@@ -213,6 +213,28 @@ def test_calibration_hybrid_improves_on_device_seed():
         assert e_init[c] <= seed_e + 1e-12
 
 
+def test_calibration_hybrid_stall_limit():
+    """strict_stall_limit ends the polish once the best energy stops
+    improving: never MORE iterations than the unlimited run, and the
+    match-or-improve guarantee (e_final <= e_init) is unaffected."""
+    stacks, exposures, mean_icrf, pca = _build_problem(pixels=200)
+    cfg = CameraConfig(num_of_chs=3, datapoints=256, bit_depth=8)
+    channel_stacks = (stacks, None, exposures)
+    kw = dict(channel_stacks=channel_stacks,
+              pca_arrays=np.stack([pca] * 3),
+              mean_icrf_arrays=np.stack([mean_icrf] * 3), rng_seed=7,
+              strict_maxiter=12, popsize=4, config=cfg,
+              device_kwargs=dict(maxiter=30, refine_rounds=0,
+                                 polish_steps=0))
+    _, _, e0_full, e1_full, iters_full = calibration_hybrid(-1.0, 1.0,
+                                                            **kw)
+    _, _, e0_st, e1_st, iters_st = calibration_hybrid(
+        -1.0, 1.0, strict_stall_limit=2, **kw)
+    np.testing.assert_allclose(e0_st, e0_full)  # identical seeds
+    assert np.all(iters_st <= iters_full)
+    assert np.all(e1_st <= e0_st + 1e-12)
+
+
 def test_calibration_return_params_shape():
     """return_params appends the solved (C, num_params) vectors and they
     reproduce the returned base curve through icrf_from_params."""
