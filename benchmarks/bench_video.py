@@ -128,10 +128,13 @@ def run(frames: int, scenes: int, height: int, width: int,
 
     # BASELINE config 5 says "calibrate + merge": solve the ICRF from the
     # decoded stacks inside the measured region (CL_BENCH_NO_CAL skips the
-    # leg for A/B attribution), and ship the std planes over the tunnel as
-    # f16 (CL_WIRE_STD overrides; qualification table in
+    # leg for A/B attribution), and ship the scene statistics over the
+    # tunnel in the qualified u16-val + f16-std wire encoding — half the
+    # f32/f32 bytes, written directly by the fused native finalize
+    # (CL_WIRE_VAL / CL_WIRE_STD override; qualification table in
     # docs/kernel_design.md "Wire formats").
     wire_std = os.environ.get("CL_WIRE_STD", "f16")
+    wire_val = os.environ.get("CL_WIRE_VAL", "u16")
     calibrate = None
     if not os.environ.get("CL_BENCH_NO_CAL"):
         pca, mean_icrf = make_calibration_basis()
@@ -151,7 +154,8 @@ def run(frames: int, scenes: int, height: int, width: int,
     t_att = time.time()
     warm = pipeline.prewarm_batch_video_to_hdr(scenes, len(exposures_ms),
                                                height, width, icrf,
-                                               calibrate=calibrate)
+                                               calibrate=calibrate,
+                                               wire_val=wire_val)
     print(f"[bench_video] prewarm (device attach, native build, buffers, "
           f"transfer, merge+calibration compile): {time.time()-t_att:.1f}s",
           file=sys.stderr, flush=True)
@@ -161,6 +165,7 @@ def run(frames: int, scenes: int, height: int, width: int,
     t0 = time.time()
     results = pipeline.batch_video_to_hdr(scene_map, icrf,
                                           wire_std=wire_std,
+                                          wire_val=wire_val,
                                           calibrate=calibrate)
     # e2e ends with the HDR maps produced, COMPLETE, and device-resident
     # (where any further processing in this framework runs).  Block on the
@@ -205,6 +210,7 @@ def run(frames: int, scenes: int, height: int, width: int,
         # wire format + calibration leg (BASELINE's "calibrate + merge"):
         # the solve itself is ~1.3 s and shows up in stages.calibrate_s
         "wire_std": wire_std,
+        "wire_val": wire_val,
         "calibration_leg": calibrate is not None,
         "checksum": round(total, 2),
         # per-stage busy time (overlapped stages sum to MORE than wall_s;

@@ -41,7 +41,8 @@ def _exposure_of(path: Path) -> float:
 
 def videos_to_stacks(video_paths: Sequence[Path],
                      config: CameraConfig = DEFAULT_CONFIG,
-                     batch_size: int = 32, stacks=None, on_video=None):
+                     batch_size: int = 32, stacks=None, on_video=None,
+                     wire: bool = False):
     """Reduce per-exposure videos to HOST (N, H, W, C) value/std stacks.
 
     The per-video statistics finalize DIRECTLY into slices of the
@@ -52,12 +53,17 @@ def videos_to_stacks(video_paths: Sequence[Path],
     video's statistics land in its stack slice, letting callers pipeline
     per-video device uploads behind the next video's decode (the batched
     flow's critical-path fix: only the LAST video's upload is ever
-    exposed).  Returns ``(val_stack, std_stack, exposures, sorted_paths)``,
-    all NumPy.
+    exposed).  ``wire=True`` finalizes into the qualified u16-mean +
+    f16-std wire encoding (``native.WIRE_U16F16``) instead of the device
+    float — same fused single store pass, half/quarter the upload bytes;
+    consumers dequantize on device.  Returns
+    ``(val_stack, std_stack, exposures, sorted_paths)``, all NumPy.
     """
     import time as _time
+    from .. import native
     log = get_logger()
-    ftype = jax.dtypes.canonicalize_dtype(np.float64)
+    dtype = native.WIRE_U16F16 if wire else \
+        jax.dtypes.canonicalize_dtype(np.float64)
     paths = sorted(video_paths, key=_exposure_of)
     val_stack, std_stack = (None, None) if stacks is None else stacks
     for i, path in enumerate(paths):
@@ -65,11 +71,12 @@ def videos_to_stacks(video_paths: Sequence[Path],
         if val_stack is None:
             h, w = video_mod.probe_geometry(path)
             shape = (len(paths), h, w, config.num_of_chs)
-            val_stack = np.empty(shape, ftype)
-            std_stack = np.empty(shape, ftype)
+            vd, sd = dtype if wire else (dtype, dtype)
+            val_stack = np.empty(shape, vd)
+            std_stack = np.empty(shape, sd)
         video_mod.welford_algorithm(path, None, use_std=True,
                                     config=config, batch_size=batch_size,
-                                    quantize=False, dtype=ftype,
+                                    quantize=False, dtype=dtype,
                                     out=(val_stack[i], std_stack[i]))
         if on_video is not None:
             on_video(i, val_stack[i], std_stack[i])
@@ -139,9 +146,17 @@ def _checkout_scene_stack_pool(shape, dtype, depth: int = 2):
     see batch_video_to_hdr).  The pool is EXCLUSIVE to the caller until
     ``_return_scene_stack_pool``; a concurrent checkout of the same
     geometry builds fresh buffers.
+
+    ``dtype`` may be a single dtype (val and std buffers alike) or a
+    ``(val_dtype, std_dtype)`` pair — the wire-encoded flow stages u16
+    means next to f16 stds (native.WIRE_U16F16).
     """
     from .. import native
-    key = (tuple(shape), np.dtype(dtype).str)
+    if isinstance(dtype, (tuple, list)):
+        vd, sd = (np.dtype(d) for d in dtype)
+    else:
+        vd = sd = np.dtype(dtype)
+    key = (tuple(shape), vd.str, sd.str)
     with _SCENE_STACKS_LOCK:
         pools = _SCENE_STACKS.get(key)
         if pools:
@@ -149,8 +164,8 @@ def _checkout_scene_stack_pool(shape, dtype, depth: int = 2):
             if not pools:
                 del _SCENE_STACKS[key]
             return key, pool
-    pool = [(native.mmap_buffer(shape, dtype),
-             native.mmap_buffer(shape, dtype)) for _ in range(depth)]
+    pool = [(native.mmap_buffer(shape, vd),
+             native.mmap_buffer(shape, sd)) for _ in range(depth)]
     return key, pool
 
 
@@ -175,7 +190,8 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
                                ICRF_diff=None,
                                config: CameraConfig = DEFAULT_CONFIG,
                                batch_size: int = 32,
-                               calibrate: Optional[dict] = None) -> dict:
+                               calibrate: Optional[dict] = None,
+                               wire_val: Optional[str] = None) -> dict:
     """Pay every one-time cost of the batched video->HDR flow up front.
 
     Benchmarks and latency-sensitive callers invoke this BEFORE their
@@ -186,6 +202,11 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
     device-side zeros (no host traffic).  Round-2 driver runs lost ~3.6x
     against the decode floor to exactly these first-use costs landing
     inside the measured region.
+
+    ``wire_val`` must match the value that will be passed to
+    :func:`batch_video_to_hdr` (same env default, ``CL_WIRE_VAL``): the
+    scene-stack pool is keyed by buffer dtype, so a mismatched prewarm
+    prefaults buffers the run never checks out.
     """
     from .. import native
     from ..ops.linearize import icrf_derivative
@@ -198,12 +219,14 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
     with timed("prewarm: native build/load", log):
         native.available()
         native.tune_host_allocator()
+    wire_u16 = (wire_val or os.environ.get("CL_WIRE_VAL", "f32")) == "u16"
     with timed("prewarm: host buffer prefault", log):
         vkey, vbufs = video_mod._checkout_host_buffers(
             min(batch_size, 16), height, width, chs)
         video_mod._return_host_buffers(vkey, vbufs)
         pool_key, pool = _checkout_scene_stack_pool(
-            (n_exposures, height, width, chs), ftype)
+            (n_exposures, height, width, chs),
+            native.WIRE_U16F16 if wire_u16 else ftype)
     icrf_j = jnp.asarray(ICRF)
     icrf_diff_j = jnp.asarray(ICRF_diff) if ICRF_diff is not None else \
         icrf_derivative(icrf_j, cfg.bits)
@@ -212,7 +235,13 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
     # link's current steady rate — reported so a degraded-epoch run is
     # attributable from the bench artifact alone
     with timed("prewarm: h2d transfer", log):
-        jax.block_until_ready(stage_to_device(pool[0][0][0]))
+        staged = stage_to_device(pool[0][0][0])
+        if wire_u16:
+            # compile the on-device dequant ops the run's uploads will use
+            staged = staged.astype(ftype) * np.asarray(1 / 65535.0, ftype)
+            jax.block_until_ready(stage_to_device(
+                pool[0][1][0]).astype(ftype))
+        jax.block_until_ready(staged)
     import time as _time
     t0 = _time.perf_counter()
     jax.block_until_ready(stage_to_device(pool[0][1][0]))
@@ -442,6 +471,7 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                        ICRF_diff: Optional[Array] = None,
                        config: CameraConfig = DEFAULT_CONFIG,
                        mesh=None, wire_std: Optional[str] = None,
+                       wire_val: Optional[str] = None,
                        calibrate: Optional[dict] = None
                        ) -> Dict[str, ImageSet]:
     """Batch of scenes: stack every scene's series and merge them together.
@@ -466,6 +496,19 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     formats"; it is inside every kernel family's std tolerance, so
     link-bound runs get ~25% fewer total bytes for free.
 
+    ``wire_val`` picks the VAL plane's wire dtype: ``"f32"`` (default;
+    env ``CL_WIRE_VAL`` overrides) ships the mean at device float width;
+    ``"u16"`` ships it as fixed-point u16 on the 1/65535 grid, written
+    DIRECTLY by the fused native finalize (zero extra host passes — the
+    f16-std conversion pass disappears too, since the wire encoding
+    pairs u16 val with f16 std).  Val quantization is <=2^-17 absolute
+    on the [0,1] scale — ~100x below a 1000-frame mean's own sampling
+    noise for any sensor with >=0.5 DN read noise (qualification:
+    docs/kernel_design.md "Wire formats").  Total wire bytes drop 2x vs
+    f32/f32 (8 -> 4 bytes/px) and 1.5x vs the f16-std format.
+    ``wire_val="u16"`` implies the f16 std wire regardless of
+    ``wire_std``.
+
     ``calibrate`` (optional dict) runs the config-5 calibration leg: the
     ICRF is SOLVED from the decoded stacks (see
     :func:`_calibrate_from_batch`) and replaces ``ICRF`` for the merge;
@@ -480,7 +523,11 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     wire = wire_std or os.environ.get("CL_WIRE_STD", "f32")
     if wire not in ("f32", "f16"):
         raise ValueError(f"wire_std must be 'f32' or 'f16', got {wire!r}")
-    wire_f16 = wire == "f16"
+    wv = wire_val or os.environ.get("CL_WIRE_VAL", "f32")
+    if wv not in ("f32", "u16"):
+        raise ValueError(f"wire_val must be 'f32' or 'u16', got {wv!r}")
+    wire_u16 = wv == "u16"
+    wire_f16 = wire == "f16" and not wire_u16
     from concurrent.futures import ThreadPoolExecutor
     from ..ops.linearize import icrf_derivative
     from ..utils.general import set_thread_priority
@@ -504,19 +551,31 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     # copy and skip this.
     _aliasing_backend = jax.default_backend() == "cpu"
 
+    inv_grid = np.asarray(1.0 / 65535.0, ftype)
+
     def _upload(v, s):
         with _stage("upload_s"):
-            if wire_f16:
-                # the astype copy also decouples the pool buffer, so the
-                # CPU-backend aliasing copy below is not needed for s
-                s = s.astype(np.float16)
-            elif _aliasing_backend:
-                s = np.array(s, copy=True)
-            if _aliasing_backend:
-                v = np.array(v, copy=True)
-            dv, ds = stage_to_device(v), stage_to_device(s)
-            if wire_f16:
-                ds = ds.astype(ftype)  # on-device upcast, one cheap op
+            if wire_u16:
+                # pool slices are already wire-encoded (u16 val, f16 std)
+                # by the fused finalize — ship as-is, dequantize on
+                # device.  The astype/mul results are fresh device
+                # buffers, so even a zero-copying CPU backend releases
+                # the pool alias once block_until_ready returns.
+                dv = stage_to_device(v).astype(ftype) * inv_grid
+                ds = stage_to_device(s).astype(ftype)
+            else:
+                if wire_f16:
+                    # the astype copy also decouples the pool buffer, so
+                    # the CPU-backend aliasing copy below is not needed
+                    # for s
+                    s = s.astype(np.float16)
+                elif _aliasing_backend:
+                    s = np.array(s, copy=True)
+                if _aliasing_backend:
+                    v = np.array(v, copy=True)
+                dv, ds = stage_to_device(v), stage_to_device(s)
+                if wire_f16:
+                    ds = ds.astype(ftype)  # on-device upcast, cheap
             jax.block_until_ready((dv, ds))
         return dv, ds
 
@@ -546,8 +605,10 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                     h, w = video_mod.probe_geometry(first)
                     shape = (len(scenes[k]), h, w, cfg.num_of_chs)
                     if pool is None:
+                        from .. import native as _native
+                        pool_dt = _native.WIRE_U16F16 if wire_u16 else ftype
                         pool_key, pool = _checkout_scene_stack_pool(shape,
-                                                                    ftype)
+                                                                    pool_dt)
                     # reusing a buffer pair requires its previous scene's
                     # uploads to have drained (the device holds copies once
                     # done)
@@ -563,7 +624,7 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                             "share frame geometry and exposure count")
                     futs: list = []
                     _, _, exposures_np, paths = videos_to_stacks(
-                        scenes[k], cfg, stacks=stacks,
+                        scenes[k], cfg, stacks=stacks, wire=wire_u16,
                         on_video=lambda i, v, s, futs=futs: futs.append(
                             xfer.submit(_upload, v, s)))
                     scene_futs.append(futs)

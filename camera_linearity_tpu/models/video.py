@@ -279,8 +279,11 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
     its bug of rounding the [0,1]-scale std straight to uint8.  ``dtype``
     selects the output float type: float32 narrows on the final store
     (arithmetic is unchanged), sparing device-bound consumers a full-frame
-    conversion pass.  ``out=(mean, std)`` writes results into
-    caller-provided ``dtype`` arrays (e.g. slices of an exposure stack).
+    conversion pass; the pair ``native.WIRE_U16F16`` writes the qualified
+    u16-mean + f16-std host->device wire encoding instead (still one fused
+    store pass on the host backend).  ``out=(mean, std)`` writes results
+    into caller-provided ``dtype`` arrays (e.g. slices of an exposure
+    stack).
 
     ``backend`` selects where the statistics accumulate:
 
@@ -299,6 +302,9 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
         file_paths = [file_paths]
     if backend not in ("auto", "device", "host"):
         raise ValueError(f"unknown backend {backend!r}")
+    if quantize and isinstance(dtype, (tuple, list)):
+        raise ValueError("quantize=True is incompatible with a wire dtype "
+                         "pair (outputs are already integer-encoded)")
 
     height, width = probe_geometry(file_paths[0])
 
@@ -365,6 +371,19 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
 
         want_std = use_std and n_frames >= 2
         mean, std = wf.welford_finalize(state, use_std=want_std)
+        if isinstance(dtype, (tuple, list)):
+            # wire-encoded outputs (see native.WIRE_U16F16): quantize with
+            # the shared NumPy reference so device- and host-backend runs
+            # produce the identical encoding
+            if tuple(np.dtype(d) for d in dtype) != native.WIRE_U16F16:
+                raise ValueError("welford_algorithm: the only supported "
+                                 "dtype pair is native.WIRE_U16F16")
+            mean_np, std_np = native.wire_quantize_u16f16(
+                np.asarray(mean), np.asarray(std) if want_std else None,
+                out=out)
+            if out is not None and use_std and not want_std:
+                out[1][...] = 0
+            return {"mean": mean_np, "std": std_np}
         mean_np = np.asarray(mean).astype(dtype, copy=False)
         std_np = np.asarray(std).astype(dtype, copy=False) if want_std \
             else None

@@ -18,7 +18,41 @@ import numpy as np
 __all__ = ["available", "u8_to_f32", "u8_hwc_to_cfirst_f32",
            "welford_update_batch_u8", "HostWelford",
            "accum_moments_u8", "HostMoments", "tune_host_allocator",
-           "mmap_buffer"]
+           "mmap_buffer", "WIRE_U16F16", "wire_quantize_u16f16"]
+
+# The qualified host->device wire encoding for (mean, std_of_mean) frame
+# pairs: u16 fixed-point mean (grid 1/65535 on the [0,1] DN scale,
+# absolute error <= 2^-17) + IEEE f16 std (relative error <= 2^-11).
+# Qualification table: docs/kernel_design.md "Wire formats";
+# measurement: benchmarks/wire_format_budget.py.
+WIRE_U16F16 = (np.dtype(np.uint16), np.dtype(np.float16))
+
+
+def wire_quantize_u16f16(mean: np.ndarray, std: Optional[np.ndarray],
+                         out=None):
+    """Quantize f32/f64 (mean, std) frames to the u16+f16 wire encoding.
+
+    Bit-identical to the fused native finalize's stores
+    (``clt_finalize_moments_u64_wire``): mean maps through
+    ``min(max(mean*65535 + 0.5, 0), 65535)`` truncated to uint16, std
+    narrows f64->f16 round-to-nearest-even.  This is the shared NumPy
+    reference used by the fallback path and by device-backend callers
+    that only hold float statistics.
+    """
+    m = np.asarray(mean, np.float64) * 65535.0 + 0.5
+    np.minimum(np.maximum(m, 0.0, out=m), 65535.0, out=m)
+    if out is not None:
+        out[0][...] = m.astype(np.uint16)
+        mq = out[0]
+        if std is not None:
+            out[1][...] = np.asarray(std, np.float64)
+            sq = out[1]
+        else:
+            sq = None
+    else:
+        mq = m.astype(np.uint16)
+        sq = None if std is None else np.asarray(std).astype(np.float16)
+    return mq, sq
 
 
 def tune_host_allocator() -> bool:
@@ -218,6 +252,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.clt_finalize_moments_u64_f32.argtypes = [
             u64p, u64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
             f32p, f32p, ctypes.c_int]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.clt_finalize_moments_u64_wire.argtypes = [
+            u64p, u64p, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
+            u16p, u16p, ctypes.c_int]
         lib.clt_version.restype = ctypes.c_int
     except AttributeError:
         return None  # symbol mismatch: lib from another source version
@@ -363,6 +401,10 @@ class HostMoments:
         ``dtype`` float32 narrows on store (arithmetic stays f64 — results
         are bit-identical to finalizing in f64 then casting) and skips the
         extra full-frame conversion pass device-bound callers would pay.
+        ``dtype=WIRE_U16F16`` (the pair ``(uint16, float16)``) writes the
+        qualified host->device WIRE encoding directly — u16 fixed-point
+        mean + f16 std — still one fused pass, zero extra host cost over
+        f32 (see :data:`WIRE_U16F16`).
         ``out=(mean, std)`` writes into caller-provided C-contiguous
         ``dtype`` arrays (std entry ignored when no std is produced) —
         e.g. slices of a preassembled exposure stack, skipping the
@@ -370,6 +412,9 @@ class HostMoments:
         """
         n = float(self.count)
         want_std = use_std and self.count >= 2
+        if isinstance(dtype, (tuple, list)):
+            return self._finalize_wire(n, want_std, tuple(
+                np.dtype(d) for d in dtype), out)
         dt = np.dtype(dtype)
         if out is not None:
             # shape must match exactly: the native pass writes
@@ -422,6 +467,59 @@ class HostMoments:
             return mean, std
         return (mean.astype(dt, copy=False),
                 None if std is None else std.astype(dt, copy=False))
+
+    def _finalize_wire(self, n: float, want_std: bool, dtypes, out):
+        """Fused finalize straight into the u16+f16 wire encoding."""
+        if dtypes != WIRE_U16F16:
+            raise ValueError("finalize: the only supported dtype pair is "
+                             f"WIRE_U16F16 (uint16, float16), got {dtypes}")
+        vd, sd = dtypes
+        if out is not None:
+            if out[0].dtype != vd or not out[0].flags.c_contiguous or \
+                    out[0].shape != self.sum.shape or \
+                    (want_std and (out[1].dtype != sd
+                                   or not out[1].flags.c_contiguous
+                                   or out[1].shape != self.sum.shape)):
+                raise ValueError("finalize out= arrays must be "
+                                 f"C-contiguous ({vd}, {sd}) of shape "
+                                 f"{self.sum.shape}")
+        lib = _load()
+        if lib is not None:
+            if out is not None:
+                mean = out[0]
+                std = out[1] if want_std else None
+            else:
+                mean = np.empty(self.sum.shape, vd)
+                std = np.empty(self.sum.shape, sd) if want_std else None
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            lib.clt_finalize_moments_u64_wire(
+                self.sum.ctypes.data_as(u64p),
+                self.sumsq.ctypes.data_as(u64p),
+                self.sum.size, ctypes.c_double(n),
+                ctypes.c_double(self.scale),
+                mean.ctypes.data_as(u16p),
+                # f16 is pointer-compatible with u16 (same bit width);
+                # the native side stores via _Float16
+                std.ctypes.data_as(u16p) if want_std else
+                ctypes.cast(None, u16p),
+                _NTHREADS)
+            return mean, std
+        # NumPy fallback: f64 finalize, then the shared wire quantizer
+        mean64, std64 = self._finalize_f64(n, want_std)
+        return wire_quantize_u16f16(mean64, std64, out=out)
+
+    def _finalize_f64(self, n: float, want_std: bool):
+        """The plain f64 NumPy finalize expression (fallback helper)."""
+        s = self.sum.astype(np.float64)
+        mean = s / n * self.scale
+        std = None
+        if want_std:
+            m2 = (self.sumsq.astype(np.float64) - s * s / n) \
+                * self.scale ** 2
+            np.maximum(m2, 0.0, out=m2)
+            std = np.sqrt(m2 / (n - 1.0)) / np.sqrt(n)
+        return mean, std
 
 
 class HostWelford:

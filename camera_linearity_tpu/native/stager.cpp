@@ -212,6 +212,46 @@ void clt_finalize_moments_u64_f32(const std::uint64_t* sum,
     });
 }
 
-int clt_version() { return 4; }
+// Wire-format finalization: the same fused moment finalize, but writing
+// the host->device WIRE encodings directly — u16 fixed-point mean
+// (round(mean * 65535), mean is in [0,1] by construction for DN streams)
+// and IEEE f16 std-of-mean — so the quantized upload stream costs ZERO
+// extra host passes over finalizing to f32 (the arithmetic is the same
+// f64 chain as clt_finalize_moments_u64; only the stores narrow).
+// std_of_mean may be null to skip the uncertainty output.
+//
+// Quantization budget (qualified in benchmarks/wire_format_budget.py):
+// u16 val error is <= 2^-17 ~ 7.6e-6 absolute on the [0,1] scale — two
+// orders of magnitude below a 1000-frame mean's own sampling noise for
+// any sensor with >= 0.5 DN read noise — and f16 std error is <= 2^-11
+// relative.  Callers dequantize on device with one cheap fused op.
+void clt_finalize_moments_u64_wire(const std::uint64_t* sum,
+                                   const std::uint64_t* sumsq,
+                                   std::size_t n, double count,
+                                   double scale, std::uint16_t* mean_q,
+                                   _Float16* std_of_mean, int nthreads) {
+    const double scale2 = scale * scale;
+    const double nm1 = count - 1.0;
+    const double sqrt_n = std::sqrt(count);
+    parallel_for(n, nthreads, [&](std::size_t lo, std::size_t hi) {
+        for (std::size_t i = lo; i < hi; ++i) {
+            const double s = static_cast<double>(sum[i]);
+            double m = s / count * scale * 65535.0 + 0.5;
+            // defensive clamp: DN means are <= 1.0 exactly, but a caller
+            // with a miscalibrated scale must saturate, not wrap
+            m = std::min(std::max(m, 0.0), 65535.0);
+            mean_q[i] = static_cast<std::uint16_t>(m);
+            if (std_of_mean != nullptr) {
+                double m2 = (static_cast<double>(sumsq[i]) - s * s / count)
+                            * scale2;
+                m2 = std::max(m2, 0.0);
+                std_of_mean[i] =
+                    static_cast<_Float16>(std::sqrt(m2 / nm1) / sqrt_n);
+            }
+        }
+    });
+}
+
+int clt_version() { return 5; }
 
 }  // extern "C"

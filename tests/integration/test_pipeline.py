@@ -162,6 +162,54 @@ def test_batch_video_to_hdr_wire_std_f16(scene_videos):
                                     wire_std="f8")
 
 
+def test_batch_video_to_hdr_wire_val_u16(scene_videos):
+    """The u16-val + f16-std wire format (wire_val='u16'): the fused
+    native finalize writes the wire encoding directly, the device
+    dequantizes, and the merged outputs stay within the propagated
+    quantization bounds of the full-width run — val within the 2^-17
+    grid amplified by the merge's 1/exposure scaling, std within the
+    f16 bound (docs/kernel_design.md "Wire formats")."""
+    paths, _ = scene_videos
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
+    scenes = {"a": paths}
+    from camera_linearity_tpu.ops import hdr as hdr_ops
+    from camera_linearity_tpu.ops.linearize import icrf_derivative
+    full = pipeline.batch_video_to_hdr(scenes, jnp.asarray(icrf),
+                                       wire_std="f32")["a"]
+    wire = pipeline.batch_video_to_hdr(scenes, jnp.asarray(icrf),
+                                       wire_val="u16")["a"]
+    fv = np.asarray(full.measurand.val)
+    wv = np.asarray(wire.measurand.val)
+
+    # exact oracle: the wire run must equal merging the DEQUANTIZED wire
+    # stacks at full width — transport adds nothing beyond quantization
+    vstack, sstack, exps, _ = pipeline.videos_to_stacks(paths, wire=True)
+    assert vstack.dtype == np.uint16 and sstack.dtype == np.float16
+    inv = np.float32(1.0 / 65535.0)
+    bv = jnp.asarray(vstack.astype(np.float32) * inv)[None]
+    bs = jnp.asarray(sstack.astype(np.float32))[None]
+    icrf_j = jnp.asarray(icrf)
+    ov, os_ = hdr_ops.merge_batch(bv, bs, jnp.asarray(exps), icrf_j,
+                                  icrf_derivative(icrf_j, 256))
+    # rtol 1e-5: XLA fuses the on-device dequant into the merge, so the
+    # multiply's rounding can differ from this host-side oracle by ulps
+    np.testing.assert_allclose(wv, np.asarray(ov[0]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(wire.measurand.std),
+                               np.asarray(os_[0]), rtol=1e-5, atol=1e-9)
+
+    # vs the full-width run: quantization-level agreement in bulk; the
+    # rare exceptions are pixels whose merge weights flip across a
+    # threshold (precise statistics at realistic scale live in
+    # benchmarks/wire_format_budget.py — this noisy 24x32 scene only
+    # supports loose bounds)
+    rel = np.abs(wv - fv) / np.maximum(np.abs(fv), 1e-6)
+    assert np.median(rel) <= 1e-5
+    assert (rel > 0.05).mean() <= 5e-3
+    with pytest.raises(ValueError, match="wire_val"):
+        pipeline.batch_video_to_hdr(scenes, jnp.asarray(icrf),
+                                    wire_val="u8")
+
+
 def test_batch_video_to_hdr_calibration_leg(scene_videos):
     """BASELINE config 5's "calibrate + merge": the ICRF solves from the
     decoded stacks and drives the merge (a gamma-distorted scene merged

@@ -168,3 +168,55 @@ def test_host_moments_finalize_out_shape_mismatch(rng):
     # exact shapes still work
     mean, std = acc.finalize(use_std=True, out=(ok, ok.copy()))
     assert mean.shape == (6, 8, 3)
+
+
+def test_host_moments_finalize_wire_u16f16(rng, monkeypatch):
+    """The u16+f16 wire finalize (native.WIRE_U16F16): native pass and
+    NumPy fallback are bit-identical, the dequantized mean is within the
+    2^-17 grid bound of the f64 finalize, and the f16 std within 2^-11
+    relative — the format's whole qualification (docs/kernel_design.md
+    "Wire formats") rests on these bounds."""
+    frames = rng.integers(0, 256, (120, 9, 13, 3), dtype=np.uint8)
+    acc = native.HostMoments((9, 13, 3), scale=1.0 / 255)
+    acc.update(frames)
+
+    mean64, std64 = acc.finalize()
+    mq, sq = acc.finalize(dtype=native.WIRE_U16F16)
+    assert mq.dtype == np.uint16 and sq.dtype == np.float16
+    # quantization bounds
+    assert np.abs(mq / 65535.0 - mean64).max() <= 0.5 / 65535 + 1e-12
+    rel = np.abs(sq.astype(np.float64) - std64) / np.maximum(std64, 1e-30)
+    assert rel.max() <= 2.0 ** -11 + 1e-12
+
+    # out= slices of a wire-typed stack, exact writes
+    stack_v = np.zeros((2, 9, 13, 3), np.uint16)
+    stack_s = np.zeros((2, 9, 13, 3), np.float16)
+    acc.finalize(dtype=native.WIRE_U16F16, out=(stack_v[1], stack_s[1]))
+    np.testing.assert_array_equal(stack_v[1], mq)
+    np.testing.assert_array_equal(stack_s[1].view(np.uint16),
+                                  sq.view(np.uint16))
+    assert not stack_v[0].any()
+
+    # dtype/shape validation
+    with pytest.raises(ValueError, match="WIRE_U16F16"):
+        acc.finalize(dtype=(np.uint16, np.float32))
+    with pytest.raises(ValueError, match="shape"):
+        acc.finalize(dtype=native.WIRE_U16F16,
+                     out=(np.empty((9, 13, 3), np.float32),
+                          np.empty((9, 13, 3), np.float16)))
+
+    # NumPy fallback: bit-identical encoding
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    mq_f, sq_f = acc.finalize(dtype=native.WIRE_U16F16)
+    np.testing.assert_array_equal(mq, mq_f)
+    np.testing.assert_array_equal(sq.view(np.uint16),
+                                  sq_f.view(np.uint16))
+
+
+def test_wire_quantize_u16f16_saturates():
+    """Out-of-range means saturate (a miscalibrated scale must clamp, not
+    wrap) and exact grid points are preserved."""
+    mean = np.asarray([-0.25, 0.0, 0.5, 1.0, 1.5])
+    mq, _ = native.wire_quantize_u16f16(mean, None)
+    np.testing.assert_array_equal(mq, [0, 0, 32768, 65535, 65535])
