@@ -484,6 +484,8 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     tunneled hosts the link sporadically degrades by >10x, and per-video
     granularity leaves only the final video's upload exposed (a per-SCENE
     granularity exposed a whole scene's worth at the end of the run).
+    Val and std ship as separate futures so that exposed tail rides BOTH
+    transfer streams, not one.
     Stage busy-times accumulate in ``utils.observability.stage_times``
     (decode_s / stats_s / upload_s / assemble_s / merge_s ...) so the
     end-to-end wall is attributable from artifacts alone.
@@ -553,7 +555,12 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
 
     inv_grid = np.asarray(1.0 / 65535.0, ftype)
 
-    def _upload(v, s):
+    def _upload_plane(a, is_std):
+        # One plane per future (val and std ship as SEPARATE transfer
+        # futures): during the run both workers usually carry different
+        # videos, but at the END of the batch the last video's planes are
+        # the only unhidden upload — splitting them keeps both streams
+        # busy through the tail, halving it on per-stream-throttled links.
         with _stage("upload_s"):
             if wire_u16:
                 # pool slices are already wire-encoded (u16 val, f16 std)
@@ -561,23 +568,21 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                 # device.  The astype/mul results are fresh device
                 # buffers, so even a zero-copying CPU backend releases
                 # the pool alias once block_until_ready returns.
-                dv = stage_to_device(v).astype(ftype) * inv_grid
-                ds = stage_to_device(s).astype(ftype)
+                d = stage_to_device(a).astype(ftype)
+                if not is_std:
+                    d = d * inv_grid
             else:
-                if wire_f16:
+                if is_std and wire_f16:
                     # the astype copy also decouples the pool buffer, so
                     # the CPU-backend aliasing copy below is not needed
-                    # for s
-                    s = s.astype(np.float16)
-                elif _aliasing_backend:
-                    s = np.array(s, copy=True)
-                if _aliasing_backend:
-                    v = np.array(v, copy=True)
-                dv, ds = stage_to_device(v), stage_to_device(s)
-                if wire_f16:
-                    ds = ds.astype(ftype)  # on-device upcast, cheap
-            jax.block_until_ready((dv, ds))
-        return dv, ds
+                    s16 = a.astype(np.float16)
+                    d = stage_to_device(s16).astype(ftype)  # device upcast
+                else:
+                    if _aliasing_backend:
+                        a = np.array(a, copy=True)
+                    d = stage_to_device(a)
+            jax.block_until_ready(d)
+        return d
 
     scene_futs: list = []
     scene_exposures: list = []
@@ -613,8 +618,8 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                     # uploads to have drained (the device holds copies once
                     # done)
                     if idx >= len(pool):
-                        for f in scene_futs[idx - len(pool)]:
-                            f.result()
+                        for fv, fs in scene_futs[idx - len(pool)]:
+                            fv.result(), fs.result()
                     stacks = pool[idx % len(pool)]
                     if stacks[0].shape != shape:
                         raise ValueError(
@@ -626,7 +631,8 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                     _, _, exposures_np, paths = videos_to_stacks(
                         scenes[k], cfg, stacks=stacks, wire=wire_u16,
                         on_video=lambda i, v, s, futs=futs: futs.append(
-                            xfer.submit(_upload, v, s)))
+                            (xfer.submit(_upload_plane, v, False),
+                             xfer.submit(_upload_plane, s, True))))
                     scene_futs.append(futs)
                     scene_exposures.append(exposures_np)
                     scene_paths.append(paths)
@@ -639,7 +645,7 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
             with _stage("assemble_s"):
                 per_scene = []
                 for futs in scene_futs:
-                    pairs = [f.result() for f in futs]
+                    pairs = [(fv.result(), fs.result()) for fv, fs in futs]
                     per_scene.append((jnp.stack([p[0] for p in pairs]),
                                       jnp.stack([p[1] for p in pairs])))
                 batch_val = jnp.stack([v for v, _ in per_scene])
