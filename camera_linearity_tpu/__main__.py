@@ -209,7 +209,8 @@ def cmd_video(args) -> int:
     if args.icrf:
         icrf, _ = _load_icrf(args.icrf, cfg)
     video.process_directory(Path(args.videos), ICRF=icrf,
-                            separately=args.separately, config=cfg)
+                            separately=args.separately, config=cfg,
+                            decoder=args.decoder)
     return 0
 
 
@@ -304,8 +305,24 @@ def cmd_doctor(args) -> int:
             if n >= 120:
                 break
         rate = n * h * w / 1e6 / (time.perf_counter() - t0)
-        print(f"decode: {rate:.0f} MP/s ({w}x{h}; this rate ceilings the "
-              "video pipelines on 1-core hosts)")
+        print(f"decode (cv2): {rate:.0f} MP/s ({w}x{h}; this rate ceilings "
+              "the video pipelines on 1-core hosts)")
+        if native.mjpeg_available():
+            from .utils import avi
+            if avi.probe_mjpg(Path(args.video)) == (h, w):
+                dst = np.empty((h, w, 3), np.uint8)
+                for fast in (False, True):
+                    n = 0
+                    t0 = time.perf_counter()
+                    for chunk in avi.mjpg_chunks(Path(args.video)):
+                        native.jpeg_decode_bgr(chunk, dst, fast=fast)
+                        n += 1
+                        if n >= 120:
+                            break
+                    rate = n * h * w / 1e6 / (time.perf_counter() - t0)
+                    name = "turbo_fast" if fast else "turbo"
+                    print(f"decode ({name}): {rate:.0f} MP/s "
+                          f"(decoder='{name}' selects this path)")
     return 0
 
 
@@ -378,6 +395,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--videos", required=True)
     v.add_argument("--icrf")
     v.add_argument("--separately", action="store_true", default=True)
+    v.add_argument("--decoder", default="auto",
+                   choices=["auto", "cv2", "turbo", "turbo_fast"],
+                   help="host video decoder: cv2 (reference path) or the "
+                        "native libjpeg MJPG path (turbo/turbo_fast; "
+                        "auto = env CL_DECODER, default cv2)")
     v.set_defaults(fn=cmd_video)
 
     d = sub.add_parser("dorf", help="build the DoRF PCA basis")

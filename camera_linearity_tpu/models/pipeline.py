@@ -42,7 +42,7 @@ def _exposure_of(path: Path) -> float:
 def videos_to_stacks(video_paths: Sequence[Path],
                      config: CameraConfig = DEFAULT_CONFIG,
                      batch_size: int = 32, stacks=None, on_video=None,
-                     wire: bool = False):
+                     wire: bool = False, decoder: str = "auto"):
     """Reduce per-exposure videos to HOST (N, H, W, C) value/std stacks.
 
     The per-video statistics finalize DIRECTLY into slices of the
@@ -56,7 +56,10 @@ def videos_to_stacks(video_paths: Sequence[Path],
     exposed).  ``wire=True`` finalizes into the qualified u16-mean +
     f16-std wire encoding (``native.WIRE_U16F16``) instead of the device
     float — same fused single store pass, half/quarter the upload bytes;
-    consumers dequantize on device.  Returns
+    consumers dequantize on device.  ``decoder`` forwards to
+    :func:`models.video.welford_algorithm` (``"auto"`` = env
+    ``CL_DECODER``, default cv2; ``"turbo"``/``"turbo_fast"`` select the
+    native libjpeg MJPG path).  Returns
     ``(val_stack, std_stack, exposures, sorted_paths)``, all NumPy.
     """
     import time as _time
@@ -77,7 +80,8 @@ def videos_to_stacks(video_paths: Sequence[Path],
         video_mod.welford_algorithm(path, None, use_std=True,
                                     config=config, batch_size=batch_size,
                                     quantize=False, dtype=dtype,
-                                    out=(val_stack[i], std_stack[i]))
+                                    out=(val_stack[i], std_stack[i]),
+                                    decoder=decoder)
         if on_video is not None:
             on_video(i, val_stack[i], std_stack[i])
         log.debug("videos_to_stacks %s: %.1fs", path.name,
@@ -472,8 +476,8 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                        config: CameraConfig = DEFAULT_CONFIG,
                        mesh=None, wire_std: Optional[str] = None,
                        wire_val: Optional[str] = None,
-                       calibrate: Optional[dict] = None
-                       ) -> Dict[str, ImageSet]:
+                       calibrate: Optional[dict] = None,
+                       decoder: str = "auto") -> Dict[str, ImageSet]:
     """Batch of scenes: stack every scene's series and merge them together.
 
     With a mesh, the merge runs sharded (scenes over ``data``, rows over
@@ -515,6 +519,14 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     ICRF is SOLVED from the decoded stacks (see
     :func:`_calibrate_from_batch`) and replaces ``ICRF`` for the merge;
     stage time lands in ``calibrate_s``.
+
+    ``decoder`` selects the host video decoder (see
+    :func:`models.video.welford_algorithm`): ``"auto"`` = env
+    ``CL_DECODER`` (default cv2, the reference's decoder);
+    ``"turbo"``/``"turbo_fast"`` decode MJPG AVI chunks with the native
+    libjpeg path — the faster decoder on decode-bound hosts
+    (benchmarks/bench_decode.py), at codec-noise-level pixel deltas vs
+    cv2.
     """
     if jax.process_count() > 1:
         # multi-host runtime: scenes shard over the DCN data axis, each
@@ -630,6 +642,7 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
                     futs: list = []
                     _, _, exposures_np, paths = videos_to_stacks(
                         scenes[k], cfg, stacks=stacks, wire=wire_u16,
+                        decoder=decoder,
                         on_video=lambda i, v, s, futs=futs: futs.append(
                             (xfer.submit(_upload_plane, v, False),
                              xfer.submit(_upload_plane, s, True))))

@@ -10,6 +10,7 @@ arrays.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from functools import partial
@@ -193,6 +194,88 @@ def _frame_batches_into(file_paths: List[Path], batch_size: int,
         yield buf[:filled]
 
 
+def _frame_batches_into_turbo(file_paths: List[Path], batch_size: int,
+                              pool: List[np.ndarray],
+                              prefetch_depth: int = 0,
+                              fast: bool = False) -> Iterator[np.ndarray]:
+    """``_frame_batches_into`` on the native libjpeg decode path.
+
+    Walks each AVI's raw MJPEG chunks (utils/avi.py) and decodes them
+    straight into the pool buffers with the native libjpeg(-turbo) decoder
+    (native/mjpeg.cpp) — skipping cv2.VideoCapture's separate YUV->BGR
+    conversion pass, the difference that makes this the faster decoder on
+    decode-bound single-core hosts (measured: benchmarks/bench_decode.py).
+    Same pool/prefetch invariants as ``_frame_batches_into``; ``fast``
+    selects JDCT_IFAST + plain chroma upsampling.
+
+    Callers gate on :func:`native.mjpeg_available` and
+    ``utils.avi.probe_mjpg`` (the per-frame geometry check in the native
+    decoder still rejects mid-stream geometry changes).
+    """
+    if len(pool) <= prefetch_depth + 1:
+        raise ValueError(
+            f"decode pool of {len(pool)} buffers cannot back a prefetch "
+            f"depth of {prefetch_depth}: need len(pool) > depth + 1 "
+            "(queued buffers + consumer's view + the one being filled) or "
+            "yielded views are overwritten while still in use")
+    from ..utils import avi as avi_mod
+    from ..utils.observability import stage_times
+    from time import perf_counter
+    slot = 0
+    filled = 0
+    buf = pool[slot]
+    for file_path in file_paths:
+        t0 = perf_counter()
+        for payload in avi_mod.mjpg_chunks(file_path):
+            native.jpeg_decode_bgr(payload, buf[filled], fast=fast)
+            filled += 1
+            if filled == batch_size:
+                stage_times.add("decode_s", perf_counter() - t0)
+                yield buf
+                t0 = perf_counter()
+                slot = (slot + 1) % len(pool)
+                buf = pool[slot]
+                filled = 0
+        stage_times.add("decode_s", perf_counter() - t0)
+    if filled:
+        yield buf[:filled]
+
+
+def _resolve_decoder(decoder: str, file_paths: List[Path],
+                     height: int, width: int) -> str:
+    """Resolve the ``decoder`` choice for the host statistics path.
+
+    ``"auto"`` reads env ``CL_DECODER`` (default ``"cv2"`` — the
+    reference's decoder; pixel parity with it is exact only for itself).
+    ``"turbo"``/``"turbo_fast"`` require the native libjpeg decoder AND
+    every input to probe as an MJPG AVI of the expected geometry;
+    otherwise the call logs a warning and falls back to cv2 (same
+    statistics, reference decode path).
+    """
+    if decoder == "auto":
+        decoder = os.environ.get("CL_DECODER", "cv2")
+    if decoder not in ("cv2", "turbo", "turbo_fast"):
+        raise ValueError(f"unknown decoder {decoder!r}; expected 'auto', "
+                         "'cv2', 'turbo' or 'turbo_fast'")
+    if decoder == "cv2":
+        return decoder
+    from ..utils import avi as avi_mod
+    from ..utils.observability import get_logger
+    if not native.mjpeg_available():
+        get_logger().warning(
+            "decoder=%s requested but the native MJPEG decoder is "
+            "unavailable; falling back to cv2", decoder)
+        return "cv2"
+    for p in file_paths:
+        if avi_mod.probe_mjpg(p) != (height, width):
+            get_logger().warning(
+                "decoder=%s requested but %s is not an MJPG AVI of "
+                "geometry (%d, %d); falling back to cv2",
+                decoder, p, height, width)
+            return "cv2"
+    return decoder
+
+
 _PREFETCH_DONE = object()
 
 
@@ -268,7 +351,8 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
                       quantize: bool = False,
                       backend: str = "auto",
                       dtype=np.float64,
-                      out=None) -> Dict[str, np.ndarray]:
+                      out=None,
+                      decoder: str = "auto") -> Dict[str, np.ndarray]:
     """Mean (and std-of-mean) frame over all frames of the given videos
     (video_processing.py:161-219).
 
@@ -294,6 +378,16 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
     * ``"auto"`` — ``"host"`` when no ICRF is given (the raw-DN stream never
       has to cross the host↔device link, which is slower than single-core
       decode on tunneled-TPU setups), otherwise ``"device"``.
+
+    ``decoder`` selects the host-path video decoder: ``"cv2"``
+    (cv2.VideoCapture — the reference's decoder), ``"turbo"`` (native
+    libjpeg-turbo on raw MJPG AVI chunks, skips cv2's separate YUV->BGR
+    pass; falls back to cv2 with a warning when the native decoder or the
+    container format is unsupported), ``"turbo_fast"`` (adds JDCT_IFAST +
+    plain chroma upsampling; decoder deltas qualified in
+    benchmarks/bench_decode.py), or ``"auto"`` (env ``CL_DECODER``,
+    default cv2).  Only the host statistics backend decodes through it;
+    the device backend always uses cv2.
 
     Decode always runs on a prefetch thread, double-buffered against the
     consuming stage.
@@ -325,9 +419,15 @@ def welford_algorithm(file_paths: Union[Path, List[Path]],
                 min(batch_size, 16), height, width, chs)
         acc = native.HostMoments((height, width, chs), 1.0 / max_dn,
                                  _buffers=bufs)
-        for batch in _prefetch(_frame_batches_into(
-                file_paths, pool[0].shape[0], pool, prefetch_depth=2),
-                depth=2):
+        dec = _resolve_decoder(decoder, file_paths, height, width)
+        if dec == "cv2":
+            batches = _frame_batches_into(file_paths, pool[0].shape[0],
+                                          pool, prefetch_depth=2)
+        else:
+            batches = _frame_batches_into_turbo(
+                file_paths, pool[0].shape[0], pool, prefetch_depth=2,
+                fast=dec == "turbo_fast")
+        for batch in _prefetch(batches, depth=2):
             with _stage("stats_s"):
                 acc.update(batch)
         with _stage("finalize_s"):
@@ -553,12 +653,12 @@ def _save_frame(save_path: Path, arr: np.ndarray) -> None:
 def process_video(video_path: Path, ICRF: Optional[Array] = None,
                   use_std: bool = True,
                   config: CameraConfig = DEFAULT_CONFIG,
-                  quantize: bool = False) -> None:
+                  quantize: bool = False, decoder: str = "auto") -> None:
     """Mean/std frames of one video, saved as tifs
     (video_processing.py:222-236).  Float (64-bit tif) outputs by
     default; ``quantize=True`` writes the reference's uint8 frames."""
     ret = welford_algorithm(video_path, ICRF, use_std, config=config,
-                            quantize=quantize)
+                            quantize=quantize, decoder=decoder)
     for key, arr in ret.items():
         if arr is not None:
             save_path = video_path.parent.joinpath(
@@ -569,21 +669,22 @@ def process_video(video_path: Path, ICRF: Optional[Array] = None,
 def process_directory(dir_path: Path, ICRF: Optional[Array] = None,
                       separately: bool = True,
                       config: CameraConfig = DEFAULT_CONFIG,
-                      quantize: bool = False) -> None:
+                      quantize: bool = False, decoder: str = "auto") -> None:
     """Process every .avi in a directory, separately or pooled
     (video_processing.py:239-274).  Float outputs by default, like
     process_video."""
     video_files = sorted(dir_path.glob("*.avi"))
     if not separately:
         ret = welford_algorithm(list(video_files), ICRF, use_std=True,
-                                config=config, quantize=quantize)
+                                config=config, quantize=quantize,
+                                decoder=decoder)
         for key, arr in ret.items():
             if arr is not None:
                 _save_frame(dir_path.joinpath(f"total_{key}.tif"), arr)
         return
     for path in video_files:
         ret = welford_algorithm(path, ICRF, use_std=True, config=config,
-                                quantize=quantize)
+                                quantize=quantize, decoder=decoder)
         for key, arr in ret.items():
             if arr is None:
                 continue

@@ -18,7 +18,8 @@ import numpy as np
 __all__ = ["available", "u8_to_f32", "u8_hwc_to_cfirst_f32",
            "welford_update_batch_u8", "HostWelford",
            "accum_moments_u8", "HostMoments", "tune_host_allocator",
-           "mmap_buffer", "WIRE_U16F16", "wire_quantize_u16f16"]
+           "mmap_buffer", "WIRE_U16F16", "wire_quantize_u16f16",
+           "mjpeg_available", "jpeg_decode_bgr"]
 
 # The qualified host->device wire encoding for (mean, std_of_mean) frame
 # pairs: u16 fixed-point mean (grid 1/65535 on the [0,1] DN scale,
@@ -101,9 +102,10 @@ def mmap_buffer(shape, dtype, prefault: bool = True) -> np.ndarray:
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "stager.cpp"
+_MJPEG_SRC = _DIR / "mjpeg.cpp"
 
 
-def _host_tag() -> str:
+def _host_tag(src: Path = _SRC) -> str:
     """Identify the CPU + source the library was compiled for.
 
     ``-march=native`` output is only valid on hosts with the same feature
@@ -126,22 +128,22 @@ def _host_tag() -> str:
     except OSError:
         pass
     try:
-        src = _SRC.read_bytes()
+        src_bytes = src.read_bytes()
     except OSError:
-        src = b""
+        src_bytes = b""
     h = hashlib.md5(usedforsecurity=False)  # cache key, not security
     h.update(platform.machine().encode())
     h.update(feats.encode())
-    h.update(src)
+    h.update(src_bytes)
     return h.hexdigest()[:10]
 
 
-def _lib_path() -> Path:
+def _lib_path(stem: str = "_stager", src: Path = _SRC) -> Path:
     """Per-host lib location: next to the source when writable, else a
     user cache dir (read-only installs).  May raise on exotic hosts
     (unwritable HOME, FIPS quirks) — callers degrade to the NumPy
     fallback."""
-    name = f"_stager-{_host_tag()}.so"
+    name = f"{stem}-{_host_tag(src)}.so"
     if os.access(_DIR, os.W_OK):
         return _DIR / name
     cache = Path(os.environ.get("XDG_CACHE_HOME",
@@ -157,7 +159,7 @@ _tried = False
 _NTHREADS = min(16, os.cpu_count() or 1)
 
 
-def _build(lib_path: Path) -> bool:
+def _build(lib_path: Path, src: Path = _SRC, extra_flags=()) -> bool:
     # Compile to a process-private temp name and os.rename() into place:
     # rename is atomic on POSIX, so a concurrent first-use in another
     # process either sees no file (and builds its own temp) or a COMPLETE
@@ -165,7 +167,7 @@ def _build(lib_path: Path) -> bool:
     # fails and would silently pin that process to the NumPy fallback).
     tmp = lib_path.with_name(f"{lib_path.stem}.tmp{os.getpid()}.so")
     base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-            str(_SRC), "-o", str(tmp)]
+            str(src), "-o", str(tmp)] + list(extra_flags)
     # -march=native vectorizes the u8 moment accumulation ~1.4x wider
     # (AVX2 vs baseline SSE2); fall back to the portable build where the
     # compiler rejects it
@@ -197,7 +199,8 @@ def _prune_stale_libs(keep: Path, min_age_s: float = 600.0) -> None:
     to the NumPy fallback."""
     import time
     now = time.time()
-    for p in keep.parent.glob("_stager-*.so"):
+    stem = keep.name.split("-")[0]  # _stager / _mjpeg: prune only own kind
+    for p in keep.parent.glob(f"{stem}-*.so"):
         # another process's in-flight temp build is not stale
         if p == keep or ".tmp" in p.name:
             continue
@@ -265,6 +268,75 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+_mjpeg_lib: Optional[ctypes.CDLL] = None
+_mjpeg_tried = False
+
+
+def _load_mjpeg() -> Optional[ctypes.CDLL]:
+    """Load (building on first use) the libjpeg-backed MJPEG decoder.
+
+    Its own shared library: linking needs the system libjpeg(-turbo) dev
+    files, and a host without them must degrade ONLY this decoder — the
+    stager library's paths stay native."""
+    global _mjpeg_lib, _mjpeg_tried
+    if _mjpeg_lib is not None or _mjpeg_tried:
+        return _mjpeg_lib
+    _mjpeg_tried = True
+    try:
+        lib_path = _lib_path("_mjpeg", _MJPEG_SRC)
+        if not lib_path.exists() and not _build(lib_path, _MJPEG_SRC,
+                                                extra_flags=("-ljpeg",)):
+            return None
+        lib = ctypes.CDLL(str(lib_path))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.clt_jpeg_decode_bgr.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.clt_jpeg_decode_bgr.restype = ctypes.c_int
+        lib.clt_mjpeg_version.restype = ctypes.c_int
+    except Exception:
+        return None
+    _mjpeg_lib = lib
+    return _mjpeg_lib
+
+
+def mjpeg_available() -> bool:
+    return _load_mjpeg() is not None
+
+
+def jpeg_decode_bgr(src, dst: np.ndarray, fast: bool = False) -> None:
+    """Decode one JPEG byte string/buffer into ``dst`` (H, W, 3) BGR uint8.
+
+    Backed by the system libjpeg(-turbo) with its merged SIMD
+    upsample+color-convert path (``fast=True`` adds JDCT_IFAST + plain
+    chroma upsampling — qualified in benchmarks/bench_decode.py).  Raises
+    ValueError on malformed data or geometry mismatch; callers that need a
+    decoder fallback should gate on :func:`mjpeg_available` instead of
+    catching this.
+    """
+    lib = _load_mjpeg()
+    if lib is None:
+        raise RuntimeError("native MJPEG decoder unavailable "
+                           "(libjpeg dev files or compiler missing)")
+    if dst.dtype != np.uint8 or dst.ndim != 3 or dst.shape[2] != 3 or \
+            not dst.flags.c_contiguous or not dst.flags.writeable:
+        raise ValueError("dst must be a writable C-contiguous "
+                         "(H, W, 3) uint8 array")
+    # zero-copy pointer to the source payload (np.frombuffer accepts both
+    # read-only bytes and writable buffers without copying)
+    flat = np.frombuffer(src, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.clt_jpeg_decode_bgr(
+        flat.ctypes.data_as(u8p), flat.size,
+        dst.ctypes.data_as(u8p), dst.shape[0], dst.shape[1],
+        1 if fast else 0)
+    if rc != 0:
+        reasons = {-1: "libjpeg decode error",
+                   -2: f"frame geometry != {dst.shape[:2]}",
+                   -3: "not a 3-component image"}
+        raise ValueError(f"jpeg_decode_bgr: {reasons.get(rc, rc)}")
 
 
 def _as_u8_ptr(arr: np.ndarray):
