@@ -74,13 +74,18 @@ def measure_decode_floor(path: Path, max_frames: int = 200,
     floor for the pipeline.  ``decoder`` matches the pipeline's flag so
     the floor is measured with the decoder the run actually uses."""
     import cv2 as cv
+    geo = None
     if decoder != "cv2":
         from camera_linearity_tpu import native
         from camera_linearity_tpu.utils import avi
-        if not native.mjpeg_available():
-            decoder = "cv2"  # mirror the pipeline's graceful fallback
+        # mirror BOTH halves of the pipeline's graceful fallback: native
+        # decoder unavailable OR the file does not probe as an MJPG AVI
+        if native.mjpeg_available():
+            geo = avi.probe_mjpg(path)
+        if geo is None:
+            decoder = "cv2"
     if decoder != "cv2":
-        h, w = avi.probe_mjpg(path)
+        h, w = geo
         dst = np.empty((h, w, 3), np.uint8)
         n = 0
         t0 = time.time()
@@ -181,7 +186,8 @@ def run(frames: int, scenes: int, height: int, width: int,
     warm = pipeline.prewarm_batch_video_to_hdr(scenes, len(exposures_ms),
                                                height, width, icrf,
                                                calibrate=calibrate,
-                                               wire_val=wire_val)
+                                               wire_val=wire_val,
+                                               wire_std=wire_std)
     print(f"[bench_video] prewarm (device attach, native build, buffers, "
           f"transfer, merge+calibration compile): {time.time()-t_att:.1f}s",
           file=sys.stderr, flush=True)

@@ -195,7 +195,8 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
                                config: CameraConfig = DEFAULT_CONFIG,
                                batch_size: int = 32,
                                calibrate: Optional[dict] = None,
-                               wire_val: Optional[str] = None) -> dict:
+                               wire_val: Optional[str] = None,
+                               wire_std: Optional[str] = None) -> dict:
     """Pay every one-time cost of the batched video->HDR flow up front.
 
     Benchmarks and latency-sensitive callers invoke this BEFORE their
@@ -207,10 +208,12 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
     against the decode floor to exactly these first-use costs landing
     inside the measured region.
 
-    ``wire_val`` must match the value that will be passed to
-    :func:`batch_video_to_hdr` (same env default, ``CL_WIRE_VAL``): the
-    scene-stack pool is keyed by buffer dtype, so a mismatched prewarm
-    prefaults buffers the run never checks out.
+    ``wire_val`` / ``wire_std`` must match the values that will be passed
+    to :func:`batch_video_to_hdr` (same env defaults, ``CL_WIRE_VAL`` /
+    ``CL_WIRE_STD``): the scene-stack pool is keyed by buffer dtype, so a
+    mismatched prewarm prefaults buffers the run never checks out — and
+    each wire format's first transfer/dequant op is a one-time cost the
+    run would otherwise pay inside its measured region.
     """
     from .. import native
     from ..ops.linearize import icrf_derivative
@@ -224,6 +227,8 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
         native.available()
         native.tune_host_allocator()
     wire_u16 = (wire_val or os.environ.get("CL_WIRE_VAL", "f32")) == "u16"
+    wire_f16 = (not wire_u16 and
+                (wire_std or os.environ.get("CL_WIRE_STD", "f32")) == "f16")
     with timed("prewarm: host buffer prefault", log):
         vkey, vbufs = video_mod._checkout_host_buffers(
             min(batch_size, 16), height, width, chs)
@@ -245,6 +250,12 @@ def prewarm_batch_video_to_hdr(n_scenes: int, n_exposures: int,
             staged = staged.astype(ftype) * np.asarray(1 / 65535.0, ftype)
             jax.block_until_ready(stage_to_device(
                 pool[0][1][0]).astype(ftype))
+        elif wire_f16:
+            # the f16-std wire (with f32 val) ships a float16 plane and
+            # upcasts on device — warm that dtype's first transfer and
+            # the upcast compile too
+            jax.block_until_ready(stage_to_device(
+                pool[0][1][0].astype(np.float16)).astype(ftype))
         jax.block_until_ready(staged)
     import time as _time
     t0 = _time.perf_counter()
@@ -342,7 +353,10 @@ def batch_video_to_hdr_distributed(scenes: Dict[str, Sequence[Path]],
                                    ICRF: Array,
                                    ICRF_diff: Optional[Array] = None,
                                    config: CameraConfig = DEFAULT_CONFIG,
-                                   mesh=None) -> Dict[str, ImageSet]:
+                                   mesh=None,
+                                   calibrate: Optional[dict] = None,
+                                   decoder: str = "auto"
+                                   ) -> Dict[str, ImageSet]:
     """Multi-host BASELINE config 5: the batch-of-scenes axis shards over
     the mesh's ``data`` (DCN) axis, image rows over ``pixel`` (ICI).
 
@@ -359,6 +373,14 @@ def batch_video_to_hdr_distributed(scenes: Dict[str, Sequence[Path]],
     machinery; the 2-process CPU integration test
     (tests/integration/test_distributed.py) asserts numerical parity
     against the single-process path.
+
+    ``calibrate`` runs the config-5 calibration leg exactly as the
+    single-host flow does (the merge uses the SOLVED curve): the process
+    owning global scene 0 subsamples its stacks, the tiny ``(N, P, C)``
+    block is shared via a process allgather, and every process runs the
+    identical deterministic device solve — no full-frame data crosses
+    DCN.  ``decoder`` forwards to the per-video statistics decode (see
+    :func:`models.video.welford_algorithm`).
     """
     from ..parallel import distributed as dist
     from ..parallel import sharded
@@ -404,7 +426,8 @@ def batch_video_to_hdr_distributed(scenes: Dict[str, Sequence[Path]],
                 val = np.empty(shape, ftype)
                 std = np.empty(shape, ftype)
             _, _, exposures_np, paths = videos_to_stacks(
-                scenes[name], cfg, stacks=(val[i], std[i]))
+                scenes[name], cfg, stacks=(val[i], std[i]),
+                decoder=decoder)
             scene_paths.append(paths)
     log.info("batch_video_to_hdr_distributed: process %d/%d decoded "
              "scenes %s", jax.process_index(), jax.process_count(),
@@ -414,6 +437,9 @@ def batch_video_to_hdr_distributed(scenes: Dict[str, Sequence[Path]],
         gval = dist.global_scene_batch(val, mesh, len(names))
         gstd = dist.global_scene_batch(std, mesh, len(names))
         exposures = jnp.asarray(exposures_np)
+
+    icrf_j, icrf_diff_j = _maybe_calibrate_distributed(
+        calibrate, val, block, exposures, cfg, icrf_j, icrf_diff_j, log)
 
     with _stage("merge_s"):
         out_val, out_std = sharded.merge_batch_sharded(
@@ -433,6 +459,44 @@ def batch_video_to_hdr_distributed(scenes: Dict[str, Sequence[Path]],
     return results
 
 
+def _maybe_calibrate_distributed(calibrate: Optional[dict],
+                                 local_val: np.ndarray, block: slice,
+                                 exposures: Array, cfg: CameraConfig,
+                                 icrf_j: Array, icrf_diff_j: Array, log):
+    """The multi-host calibration leg: returns (icrf, icrf_diff), solved
+    when ``calibrate`` is given, otherwise the passed curve unchanged.
+
+    The single-host leg solves from scene 0's subsampled stacks
+    (:func:`_calibrate_from_batch`); here only ONE process has decoded
+    scene 0, so that owner subsamples host-side and the small
+    ``(N, P, C)`` block is summed across a process allgather (exactly one
+    process contributes a nonzero block — everyone ends up with the
+    owner's data).  Every process then runs the identical, seeded,
+    device-resident solve, so all processes hold the same curve without
+    broadcasting it.
+    """
+    if calibrate is None:
+        return icrf_j, icrf_diff_j
+    from jax.experimental import multihost_utils
+    from ..utils.observability import stage as _stage
+    with _stage("calibrate_s"):
+        spec = dict(calibrate)
+        spacing = int(spec.pop("spacing", 64))
+        n, h, w, c = local_val.shape[1:]
+        p = (h * w + spacing - 1) // spacing
+        if block.start == 0:  # this process decoded global scene 0
+            sub = np.ascontiguousarray(
+                local_val[0].reshape(n, h * w, c)[:, ::spacing, :])
+        else:
+            sub = np.zeros((n, p, c), local_val.dtype)
+        subs = np.asarray(multihost_utils.process_allgather(sub))
+        icrf_j, icrf_diff_j = _calibrate_from_subsample(
+            subs.reshape(-1, n, p, c).sum(axis=0), exposures, cfg, spec)
+    log.info("batch_video_to_hdr_distributed: merged with the "
+             "batch-solved ICRF")
+    return icrf_j, icrf_diff_j
+
+
 def _calibrate_from_batch(batch_val: Array, exposures: Array,
                           cfg: CameraConfig, spec: dict):
     """The config-5 calibration leg: solve the ICRF from the
@@ -449,19 +513,30 @@ def _calibrate_from_batch(batch_val: Array, exposures: Array,
     :func:`models.calibration.calibration`.  Returns the solved
     ``(bits, C)`` ICRF and its derivative.
     """
+    spec = dict(spec)
+    spacing = int(spec.pop("spacing", 64))
+    n, h, w, c = batch_val.shape[1:]
+    flat = batch_val[0].reshape(n, h * w, c)
+    sub = flat[:, ::spacing, :]                       # (N, P, C)
+    return _calibrate_from_subsample(sub, exposures, cfg, spec)
+
+
+def _calibrate_from_subsample(sub: Array, exposures: Array,
+                              cfg: CameraConfig, spec: dict):
+    """Solve the calibration leg from an already-subsampled ``(N, P, C)``
+    value block (see :func:`_calibrate_from_batch`; ``spec`` here no
+    longer carries ``spacing``).  Split out so the multi-host flow can
+    broadcast the small subsample between processes and run the identical
+    deterministic solve everywhere."""
     from ..ops.linearize import icrf_derivative
     from . import calibration as cal
     spec = dict(spec)
-    spacing = int(spec.pop("spacing", 64))
     lower = spec.pop("lower", -1.0)
     upper = spec.pop("upper", 1.0)
     pca = np.asarray(spec.pop("pca_arrays"))
     mean_icrf = spec.pop("mean_icrf_arrays", None)
     mean_icrf = None if mean_icrf is None else np.asarray(mean_icrf)
-    n, h, w, c = batch_val.shape[1:]
-    flat = batch_val[0].reshape(n, h * w, c)
-    sub = flat[:, ::spacing, :]                       # (N, P, C)
-    dn = jnp.clip(jnp.round(sub * (cfg.datapoints - 1)), 0,
+    dn = jnp.clip(jnp.round(jnp.asarray(sub) * (cfg.datapoints - 1)), 0,
                   cfg.datapoints - 1).astype(jnp.int32)
     stacks = jnp.transpose(dn, (2, 1, 0))             # (C, P, N)
     icrf, _, _, _ = cal.calibration(
@@ -531,9 +606,23 @@ def batch_video_to_hdr(scenes: Dict[str, Sequence[Path]], ICRF: Array,
     if jax.process_count() > 1:
         # multi-host runtime: scenes shard over the DCN data axis, each
         # process decoding only its own block (see the distributed variant
-        # for the contract — notably, only local scenes are returned)
+        # for the contract — notably, only local scenes are returned).
+        # calibrate and decoder forward; the wire formats are specific to
+        # the single-host upload-overlap machinery (the distributed path
+        # feeds process-local stacks straight into the global array at
+        # full float width), so an explicit request is called out rather
+        # than silently ignored
+        wire_req = (wire_std or os.environ.get("CL_WIRE_STD", "f32"),
+                    wire_val or os.environ.get("CL_WIRE_VAL", "f32"))
+        if wire_req != ("f32", "f32"):
+            get_logger().warning(
+                "batch_video_to_hdr: wire formats (std=%s, val=%s) do not "
+                "apply on the multi-host path; statistics ship at full "
+                "float width", *wire_req)
         return batch_video_to_hdr_distributed(scenes, ICRF, ICRF_diff,
-                                              config, mesh)
+                                              config, mesh,
+                                              calibrate=calibrate,
+                                              decoder=decoder)
     wire = wire_std or os.environ.get("CL_WIRE_STD", "f32")
     if wire not in ("f32", "f16"):
         raise ValueError(f"wire_std must be 'f32' or 'f16', got {wire!r}")

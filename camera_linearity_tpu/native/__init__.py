@@ -522,14 +522,7 @@ class HostMoments:
                ctypes.cast(None, outp),
                _NTHREADS)
             return mean, std
-        s = self.sum.astype(np.float64)
-        mean = s / n * self.scale
-        std = None
-        if want_std:
-            m2 = (self.sumsq.astype(np.float64) - s * s / n) \
-                * self.scale ** 2
-            np.maximum(m2, 0.0, out=m2)
-            std = np.sqrt(m2 / (n - 1.0)) / np.sqrt(n)
+        mean, std = self._finalize_f64(n, want_std)
         if out is not None:
             out[0][...] = mean
             mean = out[0]

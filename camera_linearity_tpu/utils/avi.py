@@ -96,6 +96,9 @@ def _jpeg_geometry(data: bytes) -> Optional[Tuple[int, int]]:
         if data[i] != 0xFF:
             return None
         marker = data[i + 1]
+        if marker == 0xFF:  # 0xFF fill bytes before a marker are legal
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -199,15 +199,30 @@ def orthogonal_line_fit(x: np.ndarray, y: np.ndarray, sy: np.ndarray
     k = int(np.argmin(s_grid))
     lo = bs[max(k - 1, 0)]
     hi = bs[min(k + 1, bs.size - 1)]
+    # The optimum can sit BEYOND the grid's slope range (|B| > tan(pi/2 -
+    # pi/2048) ~ 652, i.e. argmin on a grid edge): expand the bracket
+    # geometrically until the derivative changes sign across it, so
+    # near-vertical data still resolves instead of handing brentq /
+    # minimize_scalar a bracket that excludes the minimum.
+    for _ in range(80):
+        if d_s(lo) < 0:
+            break
+        lo -= abs(lo) + 1.0
+    for _ in range(80):
+        if d_s(hi) > 0:
+            break
+        hi += abs(hi) + 1.0
     if d_s(lo) < 0 < d_s(hi):
         b_hat = brentq(d_s, lo, hi, xtol=1e-300, rtol=4 * np.finfo(float).eps,
                        maxiter=200)
-    else:  # degenerate bracket (flat objective): golden-section fallback
+    else:  # degenerate bracket (flat objective): bounded golden-section —
+        # never scipy's default (0, 1) auto-bracket, which can crash or
+        # land on the wrong local minimum for data far from unit slope
         from scipy.optimize import minimize_scalar
         b_hat = float(minimize_scalar(
             lambda b: np.sum((y - a_of(b) - b * x) ** 2 / (s2 + b * b)),
-            bracket=(lo, bs[k], hi) if lo < bs[k] < hi else None,
-            method="brent", options={"xtol": 1e-14}).x)
+            bounds=(lo, hi), method="bounded",
+            options={"xatol": 1e-14}).x)
 
     a_hat = a_of(b_hat)
     w = 1.0 / (s2 + b_hat * b_hat)

@@ -119,8 +119,44 @@ def main() -> None:
     assert np.isfinite(icrf_solved).all()
     assert float(e1[0]) <= float(e0[0]) + 1e-12
 
+    # --- the calibration leg on the multi-host path ---------------------
+    # (process 0 owns global scene 0 and subsamples it; the allgather-sum
+    # broadcast must hand every process the same data, so both processes
+    # solve the same curve and merge with it.  Oracle: each worker decodes
+    # scene 0 itself — the test filesystem is shared — runs the identical
+    # solve, and merges its local scenes single-device.)
+    spec = dict(pca_arrays=np.stack([pca] * 3),
+                mean_icrf_arrays=np.stack([mean_icrf] * 3),
+                spacing=17, popsize=6, maxiter=4, rng_seed=3)
+    res_cal = pipeline.batch_video_to_hdr(scenes, icrf_j, icrf_diff_j,
+                                          config=cfg, mesh=mesh,
+                                          calibrate=spec)
+    assert list(res_cal) == expected, (list(res_cal), expected)
+    val0, _, exps0, _ = pipeline.videos_to_stacks(
+        scenes[scene_names[0]], cfg)
+    n0, h0, w0, c0 = val0.shape
+    sub0 = val0.reshape(n0, h0 * w0, c0)[:, ::17, :]
+    spec_ns = {k: v for k, v in spec.items() if k != "spacing"}
+    icrf_c, icrf_diff_c = pipeline._calibrate_from_subsample(
+        jnp.asarray(sub0), jnp.asarray(exps0), cfg, spec_ns)
+    max_cal_err = 0.0
+    for name in expected:
+        val, std, exposures, _ = pipeline.videos_to_stacks(scenes[name],
+                                                           cfg)
+        ov, os_ = hdr_ops.merge_batch(jnp.asarray(val[None]),
+                                      jnp.asarray(std[None]),
+                                      jnp.asarray(exposures),
+                                      icrf_c, icrf_diff_c)
+        m = res_cal[name].measurand
+        max_cal_err = max(max_cal_err,
+                          float(jnp.max(jnp.abs(m.val - ov[0]))),
+                          float(jnp.max(jnp.abs(m.std - os_[0]))))
+    assert max_cal_err < 1e-9, (
+        f"distributed calibrate leg diverges: {max_cal_err}")
+
     (out_dir / f"result_{pid}.json").write_text(json.dumps({
         "pid": pid, "scenes": expected, "max_merge_err": max_err,
+        "max_cal_err": max_cal_err,
         "dcn_total": total, "e0": float(e0[0]), "e1": float(e1[0])}))
     print(f"[worker {pid}] OK", flush=True)
 

@@ -92,6 +92,10 @@ def test_two_process_video_to_hdr_and_calibration(tmp_path):
     assert r1["scenes"] == ["scene2", "scene3"]
     # both processes agreed with the single-device oracle
     assert r0["max_merge_err"] < 1e-9 and r1["max_merge_err"] < 1e-9
+    # the multi-host calibration leg: process 0's scene-0 subsample
+    # reached both processes (allgather broadcast) and both merged with
+    # the same solved curve, matching each worker's locally-solved oracle
+    assert r0["max_cal_err"] < 1e-9 and r1["max_cal_err"] < 1e-9
     # the cross-process psum saw both contributions
     assert r0["dcn_total"] == r1["dcn_total"] == 12.0
     # the population-sharded solve made progress and both processes

@@ -236,6 +236,43 @@ def test_batch_video_to_hdr_calibration_leg(scene_videos):
                            np.asarray(plain.measurand.val))
 
 
+def test_batch_video_to_hdr_distributed_calibration_leg(scene_videos):
+    """The multi-host flow's calibration leg (owner subsample ->
+    allgather broadcast -> identical solve everywhere) must produce the
+    same merge as the single-host leg on a 1-process mesh, and the
+    decoder/calibrate arguments must survive the process_count()>1
+    dispatch in batch_video_to_hdr (they were silently dropped once)."""
+    from camera_linearity_tpu.parallel import distributed as dist
+    paths, _ = scene_videos
+    x = np.linspace(0, 1, 256)
+    curves = np.stack([x ** g for g in np.linspace(1.6, 3.0, 25)])
+    mean_icrf = curves.mean(axis=0)
+    _, _, vt = np.linalg.svd(curves - mean_icrf, full_matrices=False)
+    spec = dict(pca_arrays=np.stack([vt[:3].T] * 3),
+                mean_icrf_arrays=np.stack([mean_icrf] * 3),
+                spacing=7, popsize=6, maxiter=4, rng_seed=3)
+    icrf = np.linspace(0, 1, 256)[:, None].repeat(3, 1)
+    mesh = dist.scene_mesh()
+    out_d = pipeline.batch_video_to_hdr_distributed(
+        {"a": paths, "b": paths}, jnp.asarray(icrf), calibrate=spec,
+        mesh=mesh)
+    out_s = pipeline.batch_video_to_hdr(
+        {"a": paths, "b": paths}, jnp.asarray(icrf), calibrate=spec,
+        mesh=mesh)
+    for k in ("a", "b"):
+        np.testing.assert_allclose(np.asarray(out_d[k].measurand.val),
+                                   np.asarray(out_s[k].measurand.val),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out_d[k].measurand.std),
+                                   np.asarray(out_s[k].measurand.std),
+                                   rtol=1e-7, atol=1e-9)
+    # and the solved curve actually drove the distributed merge
+    plain = pipeline.batch_video_to_hdr_distributed(
+        {"a": paths, "b": paths}, jnp.asarray(icrf), mesh=mesh)
+    assert not np.allclose(np.asarray(out_d["a"].measurand.val),
+                           np.asarray(plain["a"].measurand.val))
+
+
 def test_batch_video_to_hdr_rejects_mismatched_exposures(scene_videos,
                                                          tmp_path):
     """Scenes with differing exposure sets must be rejected, not silently

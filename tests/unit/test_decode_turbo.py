@@ -68,6 +68,17 @@ class TestAviWalker:
         assert avi.probe_mjpg(p) is None
         assert avi.probe_mjpg(tmp_path / "missing.avi") is None
 
+    def test_jpeg_geometry_tolerates_fill_bytes(self, mjpg_avi):
+        """JPEG permits any number of 0xFF fill bytes before a marker
+        (some hardware MJPG encoders pad with them); the geometry walk
+        must skip them instead of derailing and rejecting the frame."""
+        path, frames = mjpg_avi
+        first = next(iter(avi.mjpg_chunks(path)))
+        geo = frames.shape[1:3]
+        assert avi._jpeg_geometry(first) == geo
+        padded = first[:2] + b"\xff\xff\xff" + first[2:]
+        assert avi._jpeg_geometry(padded) == geo
+
     def test_chunk_count_and_jpeg_payloads(self, mjpg_avi):
         path, frames = mjpg_avi
         chunks = list(avi.mjpg_chunks(path))
@@ -183,6 +194,30 @@ class TestPipelineIntegration:
     def test_resolve_decoder_rejects_unknown(self):
         with pytest.raises(ValueError, match="unknown decoder"):
             video_mod._resolve_decoder("ffmpeg", [], 1, 1)
+
+    def test_bench_decode_floor_falls_back_on_non_mjpg(self, tmp_path):
+        """benchmarks/bench_video.measure_decode_floor must mirror BOTH
+        halves of the pipeline's fallback (native lib unavailable OR the
+        file does not probe as MJPG) instead of unpacking probe_mjpg's
+        None — a bench run on a non-MJPG video used to crash AFTER the
+        measured pipeline had completed, losing the artifact."""
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parents[2] / "benchmarks"))
+        import bench_video
+        rng = np.random.default_rng(0)
+        p = tmp_path / "scene 5ms.avi"
+        w = cv.VideoWriter(str(p), cv.VideoWriter_fourcc(*"FFV1"), 10,
+                           (32, 24))
+        if not w.isOpened():
+            pytest.skip("no lossless codec available")
+        for _ in range(4):
+            w.write(rng.integers(0, 255, (24, 32, 3)).astype(np.uint8))
+        w.release()
+        assert avi.probe_mjpg(p) is None  # precondition: probe rejects it
+        rate = bench_video.measure_decode_floor(p, max_frames=4,
+                                                decoder="turbo_fast")
+        assert rate > 0  # measured via the cv2 fallback, no crash
 
     def test_resolve_decoder_env_default(self, monkeypatch, mjpg_avi):
         path, _ = mjpg_avi

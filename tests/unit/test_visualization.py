@@ -129,6 +129,19 @@ def test_orthogonal_line_fit_exact_cases():
                       - 2 * b * resid ** 2 * w ** 2)) < 1e-10
 
 
+def test_orthogonal_line_fit_steep_slopes_beyond_scan_grid():
+    """Slopes beyond the angle-scan grid's range (|B| > tan(pi/2 -
+    pi/2048) ~ 652) put the argmin on a grid edge; the bracket must
+    expand geometrically to capture the optimum instead of crashing or
+    handing scipy its default (0, 1) bracket."""
+    x = np.linspace(0.0, 1e-3, 9)
+    for slope in (2000.0, -5e4):
+        fit = viz.orthogonal_line_fit(x, 0.5 + slope * x,
+                                      np.full(9, 0.01))
+        np.testing.assert_allclose(fit["beta"], [0.5, slope], rtol=1e-6,
+                                   atol=1e-9)
+
+
 def test_orthogonal_line_fit_matches_or_beats_scipy_odr(rng):
     """Against scipy.odr (while it exists) on deliberately noisy,
     heteroscedastic data: our fit's ODR objective is never worse than
